@@ -1,0 +1,20 @@
+"""vo_tpu — TPU-native monocular visual odometry (JAX/XLA/Pallas).
+
+A from-scratch re-design of the WeeFav/Visual-Odometry-GPU pipeline for TPU:
+fixed-shape masked arrays everywhere, one fused jitted per-frame step, batched
+on-device RANSAC, and a distributed Schur-complement windowed bundle
+adjustment over a `jax.sharding.Mesh`.
+
+Subpackages
+-----------
+- ``vo_tpu.data``      KITTI odometry IO + synthetic sequence generation
+- ``vo_tpu.ops``       device kernels (blur, FAST, NMS, Harris, BRIEF, LK, ...)
+- ``vo_tpu.frontend``  ORB detect-and-compute pipeline over an image pyramid
+- ``vo_tpu.geometry``  essential matrix, RANSAC, pose recovery, triangulation
+- ``vo_tpu.ba``        windowed bundle adjustment (Schur-complement LM)
+- ``vo_tpu.parallel``  meshes, sharded matching, distributed BA
+- ``vo_tpu.models``    end-to-end VO pipelines (the reference's 5+ configs)
+- ``vo_tpu.utils``     metrics (ATE/RPE/drift), path IO, plotting, profiling
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,151 @@
+"""Synthetic VO sequences with exact ground truth.
+
+The reference has no automated tests and relies on KITTI seq 05 golden dumps
+(SURVEY.md §4). Since the raw KITTI frames are not redistributable fixtures,
+we generate synthetic sequences: a random 3D blob world rendered through a
+pinhole camera moving along a smooth trajectory. Blobs produce strong FAST
+corners and trackable LK texture; depths and motions give a known relative
+scale — so the full pipeline (detect → associate → pose → scale → chain) can
+be validated end-to-end against exact ground truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def make_world(
+    n_points: int = 4000,
+    x_range: tuple[float, float] = (-60.0, 60.0),
+    y_range: tuple[float, float] = (-8.0, 4.0),
+    z_range: tuple[float, float] = (2.0, 220.0),
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random 3D landmarks (world frame) with per-point contrast in [-90, 90]."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [
+            rng.uniform(*x_range, n_points),
+            rng.uniform(*y_range, n_points),
+            rng.uniform(*z_range, n_points),
+        ],
+        axis=1,
+    )
+    contrast = rng.uniform(40.0, 90.0, n_points) * rng.choice([-1.0, 1.0], n_points)
+    return pts, contrast
+
+
+def make_trajectory(
+    n_frames: int = 50,
+    speed: float = 1.0,
+    yaw_amplitude: float = 0.15,
+    seed: int = 1,
+) -> np.ndarray:
+    """(N, 4, 4) smooth cam->world poses: forward motion with gentle yaw.
+
+    KITTI convention: camera looks down +z, x right, y down; poses map camera
+    coordinates to world coordinates.
+    """
+    rng = np.random.default_rng(seed)
+    # Smooth yaw-rate profile.
+    yaw_rate = yaw_amplitude * np.sin(
+        np.linspace(0, 2.5 * np.pi, n_frames) + rng.uniform(0, np.pi)
+    ) / max(n_frames, 1)
+    yaw = np.cumsum(yaw_rate)
+    # Mildly varying speed so GT scale is not identically 1.
+    speeds = speed * (1.0 + 0.3 * np.sin(np.linspace(0, 4 * np.pi, n_frames)))
+
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    pos = np.zeros(3)
+    for i in range(n_frames):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        pos = pos + R @ np.array([0.0, 0.0, speeds[i]])
+    return poses
+
+
+def render_frame(
+    points_w: np.ndarray,
+    contrast: np.ndarray,
+    pose_c2w: np.ndarray,
+    K: np.ndarray,
+    shape: tuple[int, int],
+    background: float = 128.0,
+    blob_sigma: float = 1.4,
+    min_depth: float = 1.0,
+) -> np.ndarray:
+    """Render one grayscale frame: Gaussian blobs at projected landmarks.
+
+    Blob size is mildly depth-dependent so LK sees consistent appearance
+    across small baselines. Output float32 (H, W) in [0, 255].
+    """
+    H, W = shape
+    w2c = np.linalg.inv(pose_c2w)
+    pc = points_w @ w2c[:3, :3].T + w2c[:3, 3]
+    vis = pc[:, 2] > min_depth
+    pc, con = pc[vis], contrast[vis]
+    uv = pc[:, :2] / pc[:, 2:3]
+    px = uv[:, 0] * K[0, 0] + K[0, 2]
+    py = uv[:, 1] * K[1, 1] + K[1, 2]
+    inb = (px > -6) & (px < W + 6) & (py > -6) & (py < H + 6)
+    px, py, con, z = px[inb], py[inb], con[inb], pc[inb, 2]
+
+    img = np.full((H, W), background, dtype=np.float64)
+    r = 4  # splat radius in pixels
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    for x, y, c, depth in zip(px, py, con, z):
+        cx, cy = int(round(x)), int(round(y))
+        fx, fy = x - cx, y - cy  # subpixel offset for smooth motion
+        sigma = blob_sigma * np.clip(30.0 / depth, 0.6, 2.0)
+        g = np.exp(-(((dx - fx) ** 2 + (dy - fy) ** 2) / (2 * sigma**2)))
+        x0, x1 = max(0, cx - r), min(W, cx + r + 1)
+        y0, y1 = max(0, cy - r), min(H, cy + r + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        img[y0:y1, x0:x1] += c * g[y0 - (cy - r) : y1 - (cy - r), x0 - (cx - r) : x1 - (cx - r)]
+    return np.clip(img, 0.0, 255.0).astype(np.float32)
+
+
+@dataclass
+class SyntheticSequence:
+    """Mirrors KittiSequence's API: frame(i), poses, K, gt_path_xz()."""
+
+    poses: np.ndarray
+    K: np.ndarray
+    shape: tuple[int, int]
+    points_w: np.ndarray
+    contrast: np.ndarray
+    _cache: dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def generate(
+        cls,
+        n_frames: int = 30,
+        shape: tuple[int, int] = (240, 320),
+        n_points: int = 1500,
+        speed: float = 1.0,
+        seed: int = 0,
+    ) -> "SyntheticSequence":
+        H, W = shape
+        f = 0.9 * W
+        K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+        pts, con = make_world(n_points=n_points, seed=seed)
+        poses = make_trajectory(n_frames=n_frames, speed=speed, seed=seed + 1)
+        return cls(poses=poses, K=K, shape=shape, points_w=pts, contrast=con)
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def frame(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            self._cache[i] = render_frame(
+                self.points_w, self.contrast, self.poses[i], self.K, self.shape
+            )
+        return self._cache[i]
+
+    def gt_path_xz(self) -> np.ndarray:
+        return self.poses[:, [0, 2], 3]
