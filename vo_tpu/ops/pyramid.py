@@ -1,0 +1,86 @@
+"""Image pyramids with bilinear (half-pixel-center) resampling.
+
+Replaces the reference's per-level `cv::resize(..., INTER_LINEAR)` pyramid
+(orb.cpp:111-127, scaleFactor 1.2, 8 levels). Each level has a static shape,
+so every level compiles once; `jax.image.resize(method="linear")` uses the
+same half-pixel sampling convention as OpenCV's INTER_LINEAR.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pyramid_shapes(
+    shape: tuple[int, int], n_levels: int = 8, scale_factor: float = 1.2
+) -> list[tuple[int, int]]:
+    """Static per-level (H, W): level l is round(dim / scale_factor**l)."""
+    H, W = shape
+    return [
+        (max(8, round(H / scale_factor**l)), max(8, round(W / scale_factor**l)))
+        for l in range(n_levels)
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(n_out: int, n_in: int) -> tuple:
+    """Dense (n_out, n_in) half-pixel bilinear sampling matrix.
+
+    Pure point-sampled bilinear (cv2 INTER_LINEAR convention, no
+    anti-aliasing — unlike jax.image.resize): src = (dst + 0.5)*s - 0.5,
+    clamped. Returned as a hashable tuple-wrapped numpy array."""
+    import numpy as np
+
+    s = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * s - 0.5
+    src = np.clip(src, 0.0, n_in - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w1 = src - i0
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    M[np.arange(n_out), i0] += 1.0 - w1
+    M[np.arange(n_out), i1] += w1
+    return (M,)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def resize_bilinear(img: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize as two banded-matrix matmuls (MXU-friendly), using
+    cv2 INTER_LINEAR's point-sampled convention (no anti-alias filter)."""
+    H_out, W_out = shape
+    H_in, W_in = img.shape[-2:]
+    My = jnp.asarray(_interp_matrix(H_out, H_in)[0], img.dtype)
+    Mx = jnp.asarray(_interp_matrix(W_out, W_in)[0], img.dtype)
+    out = jnp.einsum(
+        "oh,...hw->...ow", My, img, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "pw,...hw->...hp", Mx, out, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def build_pyramid(
+    img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
+) -> list[jnp.ndarray]:
+    """List of n_levels images, level 0 = input. Successive resampling from
+    the previous level (as cv::resize from pyramid[i-1], orb.cpp:116-119)."""
+    shapes = pyramid_shapes(img.shape[-2:], n_levels, scale_factor)
+    levels = [img]
+    for s in shapes[1:]:
+        levels.append(resize_bilinear(levels[-1], s))
+    return levels
+
+
+def build_halving_pyramid(img: jnp.ndarray, n_levels: int) -> list[jnp.ndarray]:
+    """Power-of-2 pyramid for pyramidal LK (cv::buildOpticalFlowPyramid
+    semantics): each level is a 5-tap binomial blur + 2x decimation."""
+    from .conv import binomial_blur5
+
+    levels = [img]
+    for _ in range(n_levels - 1):
+        blurred = binomial_blur5(levels[-1])
+        levels.append(blurred[..., ::2, ::2])
+    return levels
