@@ -1,0 +1,140 @@
+"""Detector stack (FAST/NMS/Harris/orientation/BRIEF/ORB) vs scalar oracles."""
+
+import numpy as np
+import pytest
+
+from vo_tpu.ops.brief import BRIEF_PATTERN, brief_descriptors, pack_bits
+from vo_tpu.ops.fast import fast_score
+from vo_tpu.ops.harris import harris_response
+from vo_tpu.ops.integral import box_filter5
+from vo_tpu.ops.nms import detect_keypoints, nms_mask, topk_keypoints
+from vo_tpu.ops.orientation import orientations_at
+from vo_tpu.frontend.orb import OrbConfig, level_budgets, orb_detect_and_compute
+
+from oracles import (
+    brief_bits_oracle,
+    fast_score_oracle,
+    nms_oracle,
+    orientation_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def img():
+    """Piecewise-constant random image: strong corners, no float ties."""
+    r = np.random.default_rng(7)
+    base = r.integers(0, 256, size=(12, 16)).astype(np.float32)
+    return np.kron(base, np.ones((4, 4), dtype=np.float32))  # (48, 64)
+
+
+def test_fast_score_matches_oracle(img):
+    ours = np.asarray(fast_score(img, 20.0, 9))
+    ref = fast_score_oracle(img, 20.0, 9)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_fast_early_reject_is_applied():
+    # A pattern passing 9-contiguity with only 2 bright cardinals must be
+    # rejected (Fast.cu:164-176 applies the cardinal test unconditionally).
+    img = np.zeros((16, 16), dtype=np.float32)
+    y, x = 8, 8
+    from vo_tpu.ops.fast import CIRCLE_OFFSETS
+
+    for i in range(3, 3 + 9):  # bright arc indices 3..11 -> cardinals 4, 8 only
+        ox, oy = CIRCLE_OFFSETS[i % 16]
+        img[y + oy, x + ox] = 200.0
+    ref = fast_score_oracle(img, 20.0, 9)
+    ours = np.asarray(fast_score(img, 20.0, 9))
+    assert ref[y, x] == 0.0
+    assert ours[y, x] == 0.0
+
+
+def test_nms_matches_oracle(img):
+    score = fast_score_oracle(img, 20.0, 9)
+    ours = np.asarray(nms_mask(score, 1, 0.0))
+    ref = nms_oracle(score, 1, 0.0)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_topk_is_deterministic_and_sorted(img):
+    score = np.asarray(fast_score(img, 20.0, 9))
+    kps = detect_keypoints(score, k=50)
+    kps2 = detect_keypoints(score, k=50)
+    for a, b in zip(kps, kps2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s = np.asarray(kps.scores)[np.asarray(kps.valid)]
+    assert (np.diff(s) <= 0).all()  # descending
+    n = int(np.asarray(kps.count()))
+    assert n > 0
+    # valid keypoints are exactly the NMS survivors (if fewer than k)
+    n_survivors = int(nms_oracle(score).sum())
+    assert n == min(50, n_survivors)
+
+
+def test_harris_response_formula(img):
+    import cv2
+
+    from vo_tpu.ops.conv import gaussian_kernel_1d
+
+    resp = np.asarray(harris_response(img, 7, 0.04))
+    k1 = gaussian_kernel_1d(7)
+    ix = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3, borderType=cv2.BORDER_REFLECT_101)
+    iy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3, borderType=cv2.BORDER_REFLECT_101)
+    blur = lambda a: cv2.sepFilter2D(a, -1, k1, k1, borderType=cv2.BORDER_REFLECT_101)
+    sxx, syy, sxy = blur(ix * ix), blur(iy * iy), blur(ix * iy)
+    ref = (sxx * syy - sxy * sxy) - 0.04 * (sxx + syy) ** 2
+    np.testing.assert_allclose(resp, ref, rtol=1e-3, atol=1e-2 * np.abs(ref).max())
+
+
+def test_orientations_match_oracle(img):
+    pts = [(10, 20), (24, 32), (40, 60), (1, 1), (47, 63)]  # incl. borders
+    ys = np.array([p[0] for p in pts], dtype=np.float32)
+    xs = np.array([p[1] for p in pts], dtype=np.float32)
+    ours = np.asarray(orientations_at(img, ys, xs, 31))
+    for k, (y, x) in enumerate(pts):
+        assert ours[k] == pytest.approx(orientation_oracle(img, y, x, 31), abs=1e-5)
+
+
+def test_brief_matches_oracle(img):
+    pts = [(20, 20, 0.0), (24, 40, 0.7), (30, 30, -2.1), (10, 50, 3.0)]
+    ys = np.array([p[0] for p in pts], dtype=np.float32)
+    xs = np.array([p[1] for p in pts], dtype=np.float32)
+    angs = np.array([p[2] for p in pts], dtype=np.float32)
+    bits, packed = brief_descriptors(img, ys, xs, angs)
+    bits, packed = np.asarray(bits), np.asarray(packed)
+    for k, (y, x, a) in enumerate(pts):
+        ref = brief_bits_oracle(img, y, x, np.float32(a), BRIEF_PATTERN)
+        np.testing.assert_array_equal(bits[k], ref)
+    # packing: LSB-first bytes
+    ref_packed = np.packbits(bits, axis=1, bitorder="little")
+    np.testing.assert_array_equal(packed, ref_packed)
+
+
+def test_level_budgets():
+    cfg = OrbConfig(nfeatures=500, scale_factor=1.2, n_levels=8)
+    b = level_budgets(cfg)
+    assert len(b) == 8
+    assert b[0] > b[-1]
+    # C++ float truncation of the geometric series (orb.cpp:62)
+    inv = 1 / 1.2
+    expected0 = int(500 * ((1 - inv) / (1 - inv**8)) * 1.0)
+    assert b[0] == expected0
+    assert 400 <= sum(b) <= 500
+
+
+def test_orb_detect_and_compute_end_to_end(sample_image):
+    img = sample_image[:184, :308]  # small crop for CPU test speed
+    cfg = OrbConfig(nfeatures=300, n_levels=4)
+    feats = orb_detect_and_compute(img, cfg)
+    n = int(np.asarray(feats.count()))
+    assert n > 50
+    v = np.asarray(feats.valid)
+    xs, ys = np.asarray(feats.xs)[v], np.asarray(feats.ys)[v]
+    assert xs.min() >= 0 and xs.max() < img.shape[1]
+    assert ys.min() >= 0 and ys.max() < img.shape[0]
+    # descriptors of valid keypoints are non-degenerate
+    bits = np.asarray(feats.bits)[v]
+    assert bits.sum() > 0
+    assert 20 < bits.sum(axis=1).mean() < 236
+    # multiple pyramid levels fired
+    assert len(np.unique(np.asarray(feats.level)[v])) >= 2

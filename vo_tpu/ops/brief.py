@@ -1,0 +1,93 @@
+"""Rotated BRIEF descriptors.
+
+Re-expression of src/cuda/Brief.cu:40-94: per keypoint, all 256 sampling
+pairs of the standard learned pattern (`bit_pattern_31_`, OpenCV's public
+constant — see scripts/gen_brief_pattern.py) are rotated by the keypoint's
+orientation with round-to-nearest, compared on the 5x5-box-smoothed image,
+and packed LSB-first into 32 bytes. Differences from the reference:
+
+- the smoothed image is a dense separable box filter (one fused conv)
+  instead of 4 integral-image gathers per tap;
+- out-of-bounds is the *correct* full-window bound [2, dim-3] — the
+  reference compares against the integral image width W+1 (Brief.cu:81-83),
+  allowing a 2-pixel out-of-row read at the right/bottom edges;
+- descriptors come out both bit-packed ((K, 32) uint8, reference layout)
+  and as (K, 256) bit planes for MXU-based Hamming matching.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .integral import box_filter5
+
+_PATTERN_PATH = os.path.join(os.path.dirname(__file__), "brief_pattern.npy")
+BRIEF_PATTERN = np.load(_PATTERN_PATH)  # (256, 4) int32: x1, y1, x2, y2
+_PACK_WEIGHTS = (1 << np.arange(8)).astype(np.uint8)  # LSB-first, Brief.cu:88-92
+
+
+@functools.partial(jax.jit, static_argnames=())
+def brief_bits(
+    smoothed: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    angles: jnp.ndarray,
+) -> jnp.ndarray:
+    """(K, 256) uint8 bit planes; bit i = 1 iff smoothed(p1_i) < smoothed(p2_i).
+
+    `smoothed` is the dense 5x5 box-sum image (box_filter5). Coordinates are
+    integer level-image pixels. OOB pairs produce bit 0 (Brief.cu:81-83)."""
+    H, W = smoothed.shape[-2:]
+    pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 4)
+    px1, py1, px2, py2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+
+    cos = jnp.cos(angles)[:, None]  # (K, 1)
+    sin = jnp.sin(angles)[:, None]
+
+    # Rotate the pattern per keypoint with round-to-nearest-even
+    # (__float2int_rn, Brief.cu:69-73).
+    dx1 = jnp.round(cos * px1 - sin * py1).astype(jnp.int32)
+    dy1 = jnp.round(sin * px1 + cos * py1).astype(jnp.int32)
+    dx2 = jnp.round(cos * px2 - sin * py2).astype(jnp.int32)
+    dy2 = jnp.round(sin * px2 + cos * py2).astype(jnp.int32)
+
+    xi = xs.astype(jnp.int32)[:, None]
+    yi = ys.astype(jnp.int32)[:, None]
+    cx1, cy1 = xi + dx1, yi + dy1
+    cx2, cy2 = xi + dx2, yi + dy2
+
+    def inb(cx, cy):
+        return (cx >= 2) & (cx <= W - 3) & (cy >= 2) & (cy <= H - 3)
+
+    ok = inb(cx1, cy1) & inb(cx2, cy2)
+    cx1c, cy1c = jnp.clip(cx1, 0, W - 1), jnp.clip(cy1, 0, H - 1)
+    cx2c, cy2c = jnp.clip(cx2, 0, W - 1), jnp.clip(cy2, 0, H - 1)
+
+    s1 = smoothed[cy1c, cx1c]
+    s2 = smoothed[cy2c, cx2c]
+    return (ok & (s1 < s2)).astype(jnp.uint8)
+
+
+@jax.jit
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(K, 256) {0,1} -> (K, 32) uint8, LSB-first within each byte."""
+    k = bits.shape[0]
+    w = jnp.asarray(_PACK_WEIGHTS)
+    return jnp.sum(bits.reshape(k, 32, 8) * w, axis=-1).astype(jnp.uint8)
+
+
+def brief_descriptors(
+    img: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    angles: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience wrapper: smooth + bits + packed. Returns (bits, packed)."""
+    smoothed = box_filter5(img)
+    bits = brief_bits(smoothed, ys, xs, angles)
+    return bits, pack_bits(bits)

@@ -65,13 +65,10 @@ def resize_bilinear(img: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
 def build_pyramid(
     img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
 ) -> list[jnp.ndarray]:
-    """List of n_levels images, level 0 = input. Successive resampling from
-    the previous level (as cv::resize from pyramid[i-1], orb.cpp:116-119)."""
+    """List of n_levels images, level 0 = input. Every level is resampled
+    from level 0 (as cv::resize(pyramid[0], ...), orb.cpp:116-119)."""
     shapes = pyramid_shapes(img.shape[-2:], n_levels, scale_factor)
-    levels = [img]
-    for s in shapes[1:]:
-        levels.append(resize_bilinear(levels[-1], s))
-    return levels
+    return [img] + [resize_bilinear(img, s) for s in shapes[1:]]
 
 
 def build_halving_pyramid(img: jnp.ndarray, n_levels: int) -> list[jnp.ndarray]:
