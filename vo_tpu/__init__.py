@@ -18,3 +18,11 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry (essential matrix, triangulation, BA) needs true fp32 matmuls;
+# JAX's default TPU matmul precision is bf16, which is catastrophic for
+# near-singular linear algebra. Hot large-tensor ops opt back into lower
+# precision explicitly where it is safe (e.g. int8 Hamming tables).
+_jax.config.update("jax_default_matmul_precision", "highest")
