@@ -13,6 +13,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize force-registers the TPU backend and overrides
+# jax_platforms to "axon,cpu" in-process, so the env var alone is not
+# enough — override the config again before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

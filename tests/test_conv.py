@@ -117,13 +117,13 @@ def test_pyramid_shapes():
 
 
 def test_build_pyramid_matches_opencv(img):
+    # every level resizes from level 0 (orb.cpp:116-119 semantics)
     levels = build_pyramid(img, n_levels=4, scale_factor=1.2)
-    prev_cv = img
     for lvl, ours in enumerate(levels[1:], start=1):
         h, w = ours.shape
-        prev_cv = cv2.resize(prev_cv, (w, h), interpolation=cv2.INTER_LINEAR)
+        ref = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
         # cv2 uses fixed-point bilinear; allow ~1 gray-level tolerance
-        assert np.abs(np.asarray(ours) - prev_cv).max() < 1.5
+        assert np.abs(np.asarray(ours) - ref).max() < 1.5
 
 
 def test_halving_pyramid():

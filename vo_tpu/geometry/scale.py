@@ -1,0 +1,93 @@
+"""Relative-scale estimation from consecutive 3D point clouds.
+
+Monocular VO recovers translation only up to scale; the reference chains
+scale by comparing distances between consecutive triangulated points across
+frames: scale = median(||dX_prev|| / (||dX_cur|| + 1e-6)) clipped to
+[0.1, 5.0], returning 1.0 when either cloud is empty
+(feature_tracking.cpp:244-310). With fixed-capacity masked arrays the
+"consecutive points" pairing becomes consecutive *valid* entries in
+canonical order; medians are masked sort-based selections (the
+`nth_element` upper median, index count/2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SCALE_MIN = 0.1
+SCALE_MAX = 5.0
+EPS = 1e-6
+
+
+@jax.jit
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Upper median (index count//2 of the ascending sort) over masked
+    entries — matches std::nth_element(ratios.size()/2). Returns 1.0 when
+    no entries are valid."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    vals = jnp.where(mask, x, big)
+    order = jnp.sort(vals)
+    count = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.clip(count // 2, 0, x.shape[0] - 1)
+    med = order[idx]
+    return jnp.where(count > 0, med, jnp.asarray(1.0, x.dtype))
+
+
+@jax.jit
+def compact_valid(pts: jnp.ndarray, valid: jnp.ndarray):
+    """Stable-compact (N, ...) rows so valid entries come first in order.
+
+    Returns (compacted pts, compacted validity)."""
+    # stable argsort on ~valid: False (valid) sorts first, order preserved
+    order = jnp.argsort(~valid, stable=True)
+    return pts[order], valid[order]
+
+
+@jax.jit
+def consecutive_distances(pts: jnp.ndarray, valid: jnp.ndarray):
+    """Distances between consecutive valid points (after compaction).
+
+    Returns (dists (N-1,), pair_valid (N-1,))."""
+    p, v = compact_valid(pts, valid)
+    d = jnp.linalg.norm(p[1:] - p[:-1], axis=1)
+    return d, v[1:] & v[:-1]
+
+
+@jax.jit
+def relative_scale_matched(
+    prev_pts: jnp.ndarray,
+    cur_pts: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scale from *matched* clouds: row i of prev corresponds to row i of
+    cur; one shared validity mask (the tracking/matched-scale path,
+    feature_tracking.cpp:244-310, feature_tracking_scale.py:140-151)."""
+    dp, vp = consecutive_distances(prev_pts, valid)
+    dc, _ = consecutive_distances(cur_pts, valid)
+    ratios = dp / (dc + EPS)
+    s = masked_median(ratios, vp)
+    return jnp.clip(s, SCALE_MIN, SCALE_MAX)
+
+
+@jax.jit
+def relative_scale_unmatched(
+    prev_pts: jnp.ndarray,
+    prev_valid: jnp.ndarray,
+    cur_pts: jnp.ndarray,
+    cur_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scale from *unmatched* clouds truncated to the common count — the
+    matching drivers' variant (feature_matching.cpp:251-263,
+    no_feature_tracking_scale.py:116-132): i-th valid prev point pairs with
+    i-th valid cur point."""
+    pp, pv = compact_valid(prev_pts, prev_valid)
+    cp, cv = compact_valid(cur_pts, cur_valid)
+    n = min(pp.shape[0], cp.shape[0])
+    pp, pv, cp, cv = pp[:n], pv[:n], cp[:n], cv[:n]
+    dp = jnp.linalg.norm(pp[1:] - pp[:-1], axis=1)
+    dc = jnp.linalg.norm(cp[1:] - cp[:-1], axis=1)
+    pair_ok = pv[1:] & pv[:-1] & cv[1:] & cv[:-1]
+    ratios = dp / (dc + EPS)
+    s = masked_median(ratios, pair_ok)
+    return jnp.clip(s, SCALE_MIN, SCALE_MAX)
