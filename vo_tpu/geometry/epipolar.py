@@ -200,14 +200,20 @@ class PoseResult(NamedTuple):
     votes: jnp.ndarray  # () int32
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("max_depth",))
 def recover_pose(
     E: jnp.ndarray,
     pts1n: jnp.ndarray,
     pts2n: jnp.ndarray,
     valid: jnp.ndarray,
+    max_depth: float = 1e6,
 ) -> PoseResult:
-    """4-way decomposition + cheirality vote (cv::recoverPose)."""
+    """4-way decomposition + cheirality vote (cv::recoverPose).
+
+    `max_depth` bounds accepted depths relative to the unit baseline;
+    the default is effectively unbounded — a hard 50x gate (OpenCV's
+    default distanceThresh) disenfranchises most voters in far-field
+    scenes and can flip the decomposition choice."""
     from .triangulate import triangulate_normalized
 
     U, s, Vt = jnp.linalg.svd(E)
@@ -227,8 +233,11 @@ def recover_pose(
         z1 = X[:, 2]
         z2 = (X @ R.T + tvec)[:, 2]
         finite = jnp.all(jnp.isfinite(X), axis=1)
-        # reasonable-depth gate like OpenCV's dist threshold (50 / |t|=1)
-        good = (z1 > 0) & (z2 > 0) & (z1 < 50.0) & (z2 < 50.0) & finite & valid
+        good = (
+            (z1 > 0) & (z2 > 0)
+            & (z1 < max_depth) & (z2 < max_depth)
+            & finite & valid
+        )
         return good
 
     masks = jax.vmap(cheirality)(Rs, ts)  # (4, N)

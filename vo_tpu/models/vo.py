@@ -27,7 +27,7 @@ from jax import lax
 
 from ..frontend.orb import OrbConfig, level_budgets, orb_detect_and_compute
 from ..geometry.epipolar import normalize_pixels, ransac_essential, recover_pose
-from ..geometry.scale import relative_scale_unmatched
+from ..geometry.scale import relative_scale_matched, relative_scale_unmatched
 from ..geometry.se3 import inv_se3, make_se3
 from ..geometry.triangulate import triangulate_normalized
 from ..ops.hamming import match_descriptors
@@ -47,6 +47,11 @@ class VOConfig(NamedTuple):
     min_tracked: int = 150
     match_ratio: float = 0.8
     min_pose_points: int = 8
+    # "matched": pair prev/cur 3D points by index identity (valid for the
+    # tracking pipeline, where LK preserves slot identity frame to frame).
+    # "unmatched": compaction-order pairing of independent clouds — the
+    # matching drivers' truncation semantics (feature_matching.cpp:251-263).
+    scale_mode: str = "matched"
 
 
 class FrameOutput(NamedTuple):
@@ -94,7 +99,10 @@ def _pose_scale_chain(
     # frame-pair's cloud by compacted index pairing (SURVEY.md §3.2).
     X = triangulate_normalized(R, t, p1n, p2n)
     cur_valid = valid & jnp.all(jnp.isfinite(X), axis=1)
-    s = relative_scale_unmatched(prev3d, prev3d_valid, X, cur_valid)
+    if cfg.scale_mode == "matched":
+        s = relative_scale_matched(prev3d, X, prev3d_valid & cur_valid)
+    else:
+        s = relative_scale_unmatched(prev3d, prev3d_valid, X, cur_valid)
 
     n_ok = jnp.sum(valid)
     enough = n_ok >= cfg.min_pose_points
