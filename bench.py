@@ -1,0 +1,82 @@
+"""Benchmark: flagship tracking-VO per-frame step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "tracking_orb_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N}
+
+Baseline = the reference's fastest complete pipeline, tracking_orb at
+72.1 fps on the author's CPU (README.md:43, results/timing.txt:5 — see
+BASELINE.md). Measured here: steady-state wall-clock of the full jitted
+per-frame step (halving pyramid, pyramidal LK over 3000 slots, in-graph
+re-detect fallback, 512-hypothesis 5-point RANSAC, cheirality pose, DLT
+triangulation, median-ratio scale, pose chaining) on real KITTI-sized
+frames (376x1241), end-to-end including the H2D image transfer.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 72.1  # tracking_orb, results/timing.txt:5
+N_WARMUP = 3
+N_STEPS = 30
+
+
+def load_frames():
+    """The two KITTI seq-05 frames shipped with the reference, ping-ponged
+    (content only affects keypoint counts, which are capacity-padded —
+    throughput is shape-determined)."""
+    from vo_tpu.data.kitti import load_gray
+
+    paths = ["/root/reference/000000.png", "/root/reference/000001.png"]
+    if all(os.path.exists(p) for p in paths):
+        return [np.asarray(load_gray(p), np.float32) for p in paths]
+    rng = np.random.default_rng(0)
+    return [
+        rng.uniform(0, 255, (376, 1241)).astype(np.float32) for _ in range(2)
+    ]
+
+
+def main():
+    import vo_tpu  # noqa: F401 — sets matmul precision
+    import jax
+
+    from vo_tpu.frontend.orb import OrbConfig
+    from vo_tpu.models.vo import TrackingVO, VOConfig
+
+    frames = load_frames()
+    K = np.array(
+        [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
+    )
+    cfg = VOConfig(orb=OrbConfig(nfeatures=3000, fast_threshold=20.0))
+    vo = TrackingVO(K, cfg)
+
+    state = vo.init(frames[0])
+    for i in range(N_WARMUP):
+        state, out = vo.step(state, frames[(i + 1) % 2])
+    jax.block_until_ready(out.pose)
+
+    t0 = time.perf_counter()
+    for i in range(N_STEPS):
+        state, out = vo.step(state, frames[(i + N_WARMUP + 1) % 2])
+    jax.block_until_ready(out.pose)
+    dt = time.perf_counter() - t0
+
+    fps = N_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_orb_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

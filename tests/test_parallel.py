@@ -1,0 +1,145 @@
+"""Multi-chip parity tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+sharded logic must run in CI without TPUs; single-chip vs sharded must be
+tolerance-bounded or exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vo_tpu.ba.schur import BAConfig, bundle_adjust
+from vo_tpu.ops.conv import binomial_blur5
+from vo_tpu.ops.fast import fast_score
+from vo_tpu.ops.hamming import match_descriptors
+from vo_tpu.parallel import (
+    batched_orb,
+    make_mesh,
+    make_mesh_2d,
+    pad_to_multiple,
+    sharded_bundle_adjust,
+    sharded_fast_score,
+    sharded_gaussian_blur,
+    sharded_match_descriptors,
+)
+
+from test_ba import make_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8
+    return make_mesh(8, axis="kp")
+
+
+class TestShardedMatching:
+    def test_matches_dense_exactly(self, mesh8, rng):
+        n1, n2 = 64, 128  # divisible by 8
+        b1 = rng.integers(0, 2, (n1, 256)).astype(np.uint8)
+        base = rng.integers(0, 2, (n2, 256)).astype(np.uint8)
+        base[:n1] = np.where(rng.random((n1, 256)) < 0.1, 1 - b1, b1)
+        v1 = rng.random(n1) > 0.1
+        v2 = rng.random(n2) > 0.1
+        args = (jnp.asarray(b1), jnp.asarray(base),
+                jnp.asarray(v1), jnp.asarray(v2))
+        dense = match_descriptors(*args)
+        shard = sharded_match_descriptors(mesh8, *args)
+        np.testing.assert_array_equal(np.asarray(dense.idx), np.asarray(shard.idx))
+        np.testing.assert_array_equal(np.asarray(dense.valid), np.asarray(shard.valid))
+        np.testing.assert_allclose(np.asarray(dense.dist), np.asarray(shard.dist))
+        assert int(shard.count()) > 0
+
+    def test_l2_path(self, mesh8, rng):
+        d1 = jnp.asarray(rng.normal(size=(32, 128)), jnp.float32)
+        d2 = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+        v1, v2 = jnp.ones(32, bool), jnp.ones(64, bool)
+        from vo_tpu.ops.hamming import knn2_ratio_match, l2_table
+
+        ref = knn2_ratio_match(l2_table(d1, d2), v1, v2, 0.9)
+        shard = sharded_match_descriptors(
+            mesh8, d1, d2, v1, v2, ratio=0.9, binary=False
+        )
+        np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(shard.idx))
+
+    def test_pad_to_multiple(self):
+        a = jnp.ones((13, 4))
+        p, n = pad_to_multiple(a, 8)
+        assert p.shape == (16, 4) and n == 3
+        p2, n2 = pad_to_multiple(p, 8)
+        assert p2.shape == (16, 4) and n2 == 0
+
+
+class TestShardedStencils:
+    def test_blur_matches_dense(self, mesh8, rng):
+        img = jnp.asarray(rng.uniform(0, 255, (64, 48)), jnp.float32)
+        dense = binomial_blur5(img)
+        shard = sharded_gaussian_blur(make_mesh(8, axis="row"))(img)
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(shard), rtol=1e-5, atol=1e-3
+        )
+
+    def test_fast_matches_dense(self, mesh8, rng):
+        img = jnp.asarray(rng.uniform(0, 255, (64, 48)), jnp.float32)
+        dense = fast_score(img)
+        shard = sharded_fast_score(make_mesh(8, axis="row"))(img)
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(shard), rtol=1e-5, atol=1e-3
+        )
+
+
+class TestShardedBA:
+    def test_matches_single_device(self, mesh8):
+        p0, X0, obs, K, _, _ = make_ba_problem(L=64)
+        W, L = obs.shape[:2]
+        om = jnp.ones((W, L), bool)
+        pm = jnp.ones((L,), bool)
+        cfg = BAConfig(max_iters=8)
+        single = bundle_adjust(p0, X0, obs, om, pm, K, cfg)
+        shard = sharded_bundle_adjust(mesh8, p0, X0, obs, om, pm, K, cfg)
+        # Shard-order summation changes fp32 rounding; bound the drift.
+        np.testing.assert_allclose(
+            np.asarray(single.poses), np.asarray(shard.poses),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            float(single.cost), float(shard.cost), rtol=2e-2
+        )
+
+    def test_masked_padding_inert_sharded(self, mesh8):
+        p0, X0, obs, K, _, _ = make_ba_problem(L=56)
+        W, L = obs.shape[:2]
+        pad = 8
+        X0p = jnp.concatenate([X0, jnp.zeros((pad, 3), jnp.float32)])
+        obsp = jnp.concatenate([obs, jnp.zeros((W, pad, 2), jnp.float32)], 1)
+        pm = jnp.concatenate([jnp.ones(L, bool), jnp.zeros(pad, bool)])
+        res = sharded_bundle_adjust(
+            mesh8, p0, X0p, obsp, jnp.ones((W, L + pad), bool), pm, K,
+            BAConfig(max_iters=8),
+        )
+        assert np.isfinite(np.asarray(res.poses)).all()
+        assert float(res.cost) < float(res.cost0)
+
+
+class TestBatchedFrontend:
+    def test_dp_detect_matches_single(self, mesh8, rng):
+        from vo_tpu.frontend.orb import OrbConfig, orb_detect_and_compute
+
+        mesh = make_mesh(8, axis="frame")
+        cfg = OrbConfig(nfeatures=64, n_levels=2, patch_size=15)
+        frames = jnp.asarray(rng.uniform(0, 255, (8, 64, 96)), jnp.float32)
+        batched = batched_orb(mesh, cfg)(frames)
+        single = orb_detect_and_compute(frames[3], cfg)
+        np.testing.assert_allclose(
+            np.asarray(batched.xs[3]), np.asarray(single.xs), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched.valid[3]), np.asarray(single.valid)
+        )
+
+    def test_2d_mesh(self, rng):
+        from vo_tpu.frontend.orb import OrbConfig
+
+        mesh = make_mesh_2d((2, 4))
+        cfg = OrbConfig(nfeatures=32, n_levels=2, patch_size=15)
+        frames = jnp.asarray(rng.uniform(0, 255, (2, 64, 96)), jnp.float32)
+        feats = batched_orb(mesh, cfg)(frames)
+        assert feats.xs.shape[0] == 2

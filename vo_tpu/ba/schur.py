@@ -1,0 +1,280 @@
+"""Windowed bundle adjustment: Levenberg-Marquardt with an explicit Schur
+complement, fully batched for the MXU.
+
+TPU re-design of the reference's Ceres solve (with_bundle_adjustment.cpp:
+ReprojectionError :27-68, problem assembly :616-669, SPARSE_SCHUR options
+:672-679). Instead of a sparse general-purpose solver we exploit the exact
+bipartite structure of windowed BA:
+
+- residual r_{w,l} = project(K, R(aa_w) X_l + t_w) - obs_{w,l}, Huber(1.0)
+  via IRLS sqrt-weights (Ceres HuberLoss, with_bundle_adjustment.cpp:661);
+- per-observation Jacobians (2x6 pose, 2x3 point) by forward-mode autodiff
+  of the scalar residual, vmapped over the dense (W, L) observation grid —
+  JAX autodiff replaces Ceres AutoDiffCostFunction;
+- normal equations in Schur form: U (W,6,6), V (L,3,3), W_{w,l} (6,3);
+  landmarks are marginalized with batched 3x3 inverses and the reduced
+  camera system S (6W x 6W, W=window<=8) is solved densely — the moral
+  equivalent of SPARSE_SCHUR for this problem size;
+- LM trust region as a fixed-iteration lax.scan with accept/reject masking
+  (no data-dependent Python control flow).
+
+Distribution: every landmark-axis reduction funnels through `_lsum`, which
+applies `lax.psum(axis_name)` when given — so the identical code runs
+landmark-sharded under shard_map (vo_tpu.parallel.ba) with the reduced
+camera system replicated, exactly the "distributed Schur" design of
+SURVEY.md §2e.
+
+Convention: `poses` here are **world->cam** angle-axis+translation 6-vectors
+(the reference also optimizes the inverted poses, with_bundle_adjustment.cpp
+:596-600, :713).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry.se3 import exp_so3
+
+
+class BAConfig(NamedTuple):
+    max_iters: int = 20
+    huber_delta: float = 1.0  # px (with_bundle_adjustment.cpp:661)
+    lambda_init: float = 1e-3
+    lambda_up: float = 10.0
+    lambda_down: float = 0.5
+    gauge_fix_first: bool = True  # first pose constant (:669)
+    # Monocular BA has a 7th gauge freedom the reference leaves loose
+    # (Ceres wanders little because of its trust region; our fp32 Schur
+    # solve would drift along the scale null-space): soft prior pinning
+    # the camera-center distance between window poses 0 and 1 to its
+    # initial value. sqrt-weight in pixel-residual units.
+    scale_gauge_weight: float = 100.0
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray  # (W, 6) world->cam [aa | t]
+    points: jnp.ndarray  # (L, 3)
+    cost0: jnp.ndarray  # () initial robust cost
+    cost: jnp.ndarray  # () final robust cost
+    n_obs: jnp.ndarray  # () number of active observations
+
+
+def _residual(pose6, X, obs, K):
+    """One reprojection residual (2,) — ReprojectionError semantics
+    (with_bundle_adjustment.cpp:34-56): p = R(aa) X + t, pinhole K."""
+    R = exp_so3(pose6[:3])
+    p = R @ X + pose6[3:]
+    z = jnp.where(jnp.abs(p[2]) > 1e-9, p[2], 1e-9)
+    u = K[0, 0] * p[0] / z + K[0, 2]
+    v = K[1, 1] * p[1] / z + K[1, 2]
+    return jnp.stack([u - obs[0], v - obs[1]])
+
+
+def _res_and_jac(poses, points, obs, K):
+    """Residuals + Jacobians over the dense (W, L) grid.
+
+    Returns r (W,L,2), Jc (W,L,2,6), Jp (W,L,2,3)."""
+
+    def rj(pose6, X, ob):
+        r = _residual(pose6, X, ob, K)
+        jc = jax.jacfwd(_residual, argnums=0)(pose6, X, ob, K)
+        jp = jax.jacfwd(_residual, argnums=1)(pose6, X, ob, K)
+        return r, jc, jp
+
+    over_l = jax.vmap(rj, in_axes=(None, 0, 0))
+    over_wl = jax.vmap(over_l, in_axes=(0, None, 0))
+    return over_wl(poses, points, obs)
+
+
+def _huber_sqrt_weight(r2, delta):
+    """IRLS sqrt-weight for Huber on squared residual norm r2."""
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    return jnp.where(rn <= delta, 1.0, jnp.sqrt(delta / rn))
+
+
+def _robust_cost(r2, mask, delta):
+    """Sum of Huber rho(||r||) over active observations (Ceres rho:
+    r2 if ||r||<=d else 2 d ||r|| - d^2)."""
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    rho = jnp.where(rn <= delta, r2, 2.0 * delta * rn - delta * delta)
+    return jnp.sum(jnp.where(mask, rho, 0.0))
+
+
+def _lsum(x, axis_name):
+    """Sum a landmark-axis reduction across shards (identity single-chip)."""
+    return lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def bundle_adjust(
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    obs: jnp.ndarray,
+    obs_mask: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    K: jnp.ndarray,
+    config: BAConfig = BAConfig(),
+    axis_name: str | None = None,
+) -> BAResult:
+    """Joint pose+structure refinement on a fixed window.
+
+    Args:
+      poses: (W, 6) world->cam [angle-axis | translation].
+      points: (L, 3) world points (L may be a shard when axis_name is set).
+      obs: (W, L, 2) pixel observations.
+      obs_mask: (W, L) bool — observation (w, l) participates.
+      point_mask: (L,) bool — landmark is real (padding rows excluded).
+      K: (3, 3) intrinsics.
+      axis_name: mesh axis over which the landmark dimension is sharded;
+        camera-side accumulations are psum'd so every shard holds the same
+        replicated pose update.
+    """
+    W = poses.shape[0]
+    mask = obs_mask & point_mask[None, :]
+    free = jnp.ones((W,), poses.dtype)
+    if config.gauge_fix_first:
+        free = free.at[0].set(0.0)
+
+    # Scale-gauge prior: pin the *total* window trajectory length (sum of
+    # consecutive camera-center distances) to its initial value. Pinning
+    # the full length — not one baseline — averages the per-frame scale
+    # noise of the chained initialization, mimicking how the reference's
+    # trust-region Ceres solve stays near its init along the null space.
+    def cam_center(p6):
+        return -(exp_so3(p6[:3]).T @ p6[3:])
+
+    def traj_len(poses_):
+        c = jax.vmap(cam_center)(poses_)  # (W, 3)
+        d = jnp.linalg.norm(c[1:] - c[:-1] + 1e-12, axis=-1)
+        return jnp.sum(d)
+
+    d_target = traj_len(poses)
+
+    def scale_residual(poses_):
+        return config.scale_gauge_weight * (traj_len(poses_) - d_target)
+
+    def normal_eqs(poses_, points_):
+        r, Jc, Jp = _res_and_jac(poses_, points_, obs, K)
+        r2 = jnp.sum(r * r, axis=-1)  # (W, L)
+        sw = _huber_sqrt_weight(r2, config.huber_delta)
+        sw = jnp.where(mask, sw, 0.0)[..., None]
+        rw = r * sw
+        Jcw = Jc * sw[..., None] * free[:, None, None, None]
+        Jpw = Jp * sw[..., None]
+
+        U = jnp.einsum("wlri,wlrj->wij", Jcw, Jcw)  # (W,6,6) local
+        V = jnp.einsum("wlri,wlrj->lij", Jpw, Jpw)  # (L,3,3)
+        Wm = jnp.einsum("wlri,wlrj->wlij", Jcw, Jpw)  # (W,L,6,3)
+        gc = -jnp.einsum("wlri,wlr->wi", Jcw, rw)  # (W,6) local
+        gp = -jnp.einsum("wlri,wlr->li", Jpw, rw)  # (L,3)
+        cost = _lsum(_robust_cost(r2, mask, config.huber_delta), axis_name)
+        # Prior terms are functions of the (replicated) poses only — added
+        # once, after the landmark-shard reduction.
+        rs = scale_residual(poses_)
+        cost = cost + rs * rs
+        return U, V, Wm, gc, gp, cost
+
+    def prior_blocks(poses_):
+        """Scale-gauge prior as a rank-1 update to the full (6W,) camera
+        system: returns (J (6W,), r scalar)."""
+        rs = scale_residual(poses_)
+        Js = jax.jacfwd(scale_residual)(poses_).reshape(-1)  # (6W,)
+        return Js, rs
+
+    def solve(poses_, U, V, Wm, gc, gp, lam):
+        # Damp diagonals (LM, additive scaled-identity like Ceres' default
+        # Levenberg flavor on the normal equations).
+        eye6 = jnp.eye(6, dtype=U.dtype)
+        eye3 = jnp.eye(3, dtype=V.dtype)
+        Ud = _lsum(U, axis_name) + lam * eye6
+        # Padding landmarks get an identity V so the batched inverse is
+        # well-posed; their gp is zero so their update is zero.
+        pm = point_mask[:, None, None]
+        Vd = jnp.where(pm, V + lam * eye3, eye3)
+        Vinv = jnp.linalg.inv(Vd)  # (L,3,3) batched — local to shard
+        Y = jnp.einsum("wlij,ljk->wlik", Wm, Vinv)  # (W,L,6,3)
+
+        # Reduced camera system S (W,W,6,6), rhs (W,6): landmark sums are
+        # psum'd across shards -> replicated small dense system.
+        S_off = _lsum(jnp.einsum("wlik,vljk->wvij", Y, Wm), axis_name)
+        S = -S_off
+        S = S + jnp.einsum("wv,wij->wvij", jnp.eye(W, dtype=U.dtype), Ud)
+        rhs = gc - jnp.einsum("wlik,lk->wi", Y, gp)
+        rhs = _lsum(rhs, axis_name)
+
+        # Gauge fixing: zero out the fixed pose's rows/cols, identity diag.
+        fm = free[:, None] * jnp.ones((1, 6), U.dtype)  # (W,6)
+        Sd = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+        f = fm.reshape(-1)
+        Sd = Sd * f[:, None] * f[None, :] + jnp.diag(1.0 - f)
+        rhsd = rhs.reshape(-1) * f
+
+        # Scale-gauge prior: rank-1 update on the reduced camera system
+        # (replicated — poses are identical on every shard).
+        Js, rs = prior_blocks(poses_)
+        Jf = Js * f
+        Sd = Sd + jnp.outer(Jf, Jf)
+        rhsd = rhsd - Jf * rs
+
+        dc = jnp.linalg.solve(Sd, rhsd).reshape(W, 6)
+        dp = jnp.einsum(
+            "lij,lj->li",
+            Vinv,
+            gp - jnp.einsum("wlij,wi->lj", Wm, dc),
+        )
+        dp = jnp.where(point_mask[:, None], dp, 0.0)
+        return dc, dp
+
+    U0, V0, W0, gc0, gp0, cost0 = normal_eqs(poses, points)
+
+    def lm_step(carry, _):
+        poses_, points_, lam, cost_, U, V, Wm, gc, gp = carry
+        dc, dp = solve(poses_, U, V, Wm, gc, gp, lam)
+        cand_poses = poses_ + dc
+        cand_points = points_ + dp
+        Un, Vn, Wn, gcn, gpn, cand_cost = normal_eqs(cand_poses, cand_points)
+        accept = cand_cost < cost_
+        sel = lambda a, b: jnp.where(accept, a, b)
+        carry = (
+            sel(cand_poses, poses_),
+            sel(cand_points, points_),
+            jnp.clip(
+                jnp.where(
+                    accept, lam * config.lambda_down, lam * config.lambda_up
+                ),
+                1e-8,
+                1e8,
+            ),
+            sel(cand_cost, cost_),
+            sel(Un, U), sel(Vn, V), sel(Wn, Wm),
+            sel(gcn, gc), sel(gpn, gp),
+        )
+        return carry, accept
+
+    init = (
+        poses, points,
+        jnp.asarray(config.lambda_init, poses.dtype), cost0,
+        U0, V0, W0, gc0, gp0,
+    )
+    (poses_f, points_f, _, cost_f, *_), _ = lax.scan(
+        lm_step, init, None, length=config.max_iters
+    )
+
+    return BAResult(
+        poses=poses_f,
+        points=points_f,
+        cost0=cost0,
+        cost=cost_f,
+        n_obs=_lsum(jnp.sum(mask), axis_name),
+    )
+
+
+def reprojection_rmse(poses, points, obs, obs_mask, point_mask, K):
+    """Unrobust RMSE in pixels over active observations (diagnostic)."""
+    r, _, _ = _res_and_jac(poses, points, obs, K)
+    m = (obs_mask & point_mask[None, :])[..., None]
+    n = jnp.maximum(jnp.sum(m) , 1)
+    return jnp.sqrt(jnp.sum(jnp.where(m, r * r, 0.0)) / n)

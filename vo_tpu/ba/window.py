@@ -1,0 +1,151 @@
+"""Sliding-window state + BA problem assembly for the vo_ba pipeline.
+
+Reference semantics (src/with_bundle_adjustment.cpp): window deques of
+{pose, observations, image} with WINDOW_SIZE=5 (:281-285), BA triggered on
+every 10th frame with a full window (:228), landmarks triangulated from the
+window's first two frames (buildLandmarksFromFirstTwoFramesAndTracks
+:502-575) with a 0.1-100 m baseline gate (:515-516) and z>0 cheirality
+check (:555-572), per-pose accept gates drot<0.5 rad / dtrans<50 (:699-717).
+
+TPU re-design: the reference re-runs LK point-by-point across the stored
+window images to recover tracks (trackPointsAcrossWindow :464-499 — O(N*W)
+1-point LK calls, its worst hot spot). Here the tracking frontend already
+preserves *slot identity* across frames (fixed-capacity masked arrays), so
+the window simply stacks each frame's (K,2) point array + validity mask:
+tracks are free, no images are retained, and the whole window is a fixed
+shape pytree that lives in the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..geometry.se3 import exp_so3, inv_se3, log_so3, make_se3
+from ..geometry.triangulate import triangulate_dlt
+from .schur import BAConfig, bundle_adjust
+
+
+class WindowConfig(NamedTuple):
+    window_size: int = 5  # WINDOW_SIZE (with_bundle_adjustment.cpp:282)
+    ba_every: int = 10  # trigger cadence (:228)
+    min_baseline: float = 0.1  # (:515)
+    max_baseline: float = 100.0  # (:516)
+    min_landmarks: int = 20
+    max_rot_update: float = 0.5  # rad (:708)
+    max_trans_update: float = 50.0  # (:709)
+    ba: BAConfig = BAConfig()
+
+
+class WindowState(NamedTuple):
+    """Chronological ring of the last `window_size` frames (index -1 =
+    current frame). All arrays are fixed-shape; `count` tracks fill."""
+
+    poses: jnp.ndarray  # (W, 4, 4) cam->world, chained estimates
+    obs: jnp.ndarray  # (W, K, 2) pixel positions per slot
+    valid: jnp.ndarray  # (W, K) slot observed in that frame
+    count: jnp.ndarray  # () int32, frames currently held (<= W)
+
+
+def window_init(window_size: int, capacity: int) -> WindowState:
+    return WindowState(
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (window_size, 1, 1)),
+        obs=jnp.zeros((window_size, capacity, 2), jnp.float32),
+        valid=jnp.zeros((window_size, capacity), bool),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def window_push(
+    st: WindowState, pose: jnp.ndarray, pts: jnp.ndarray, valid: jnp.ndarray
+) -> WindowState:
+    """Shift-in the newest frame (drops the oldest once full)."""
+    W = st.poses.shape[0]
+    return WindowState(
+        poses=jnp.concatenate([st.poses[1:], pose[None]], 0),
+        obs=jnp.concatenate([st.obs[1:], pts[None]], 0),
+        valid=jnp.concatenate([st.valid[1:], valid[None]], 0),
+        count=jnp.minimum(st.count + 1, W),
+    )
+
+
+def window_reset(st: WindowState) -> WindowState:
+    """Invalidate the window (tracking re-detect broke slot identity)."""
+    return st._replace(count=jnp.asarray(0, jnp.int32),
+                       valid=jnp.zeros_like(st.valid))
+
+
+def run_window_ba(
+    st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None
+):
+    """Assemble + solve the window BA problem; returns (new_poses (W,4,4),
+    applied (W,) bool, info dict of scalars).
+
+    Poses are optimized world->cam (like the reference, :596-600) and gated
+    per pose against runaway updates before being written back inverted.
+    """
+    W, Kcap = st.valid.shape
+    T_wc = inv_se3(st.poses)  # world->cam (4,4) each
+    pose6 = jnp.concatenate(
+        [log_so3(T_wc[:, :3, :3]), T_wc[:, :3, 3]], axis=1
+    )  # (W, 6)
+
+    # Landmarks: triangulate slots observed in the first two window frames
+    # under the current pose estimates (buildLandmarks... :502-575).
+    P0 = K @ T_wc[0, :3]
+    P1 = K @ T_wc[1, :3]
+    X = triangulate_dlt(P0, P1, st.obs[0], st.obs[1])  # world frame
+    z0 = (T_wc[0, :3, :3] @ X.T).T[:, 2] + T_wc[0, 2, 3]
+    point_ok = (
+        st.valid[0]
+        & st.valid[1]
+        & jnp.all(jnp.isfinite(X), axis=1)
+        & (z0 > 0.0)  # cheirality (:555-572)
+    )
+
+    baseline = jnp.linalg.norm(st.poses[1, :3, 3] - st.poses[0, :3, 3])
+    ba_ok = (
+        (st.count >= W)
+        & (baseline > cfg.min_baseline)
+        & (baseline < cfg.max_baseline)
+        & (jnp.sum(point_ok) >= cfg.min_landmarks)
+    )
+    point_ok = point_ok & ba_ok  # empty problem when gated off
+
+    res = bundle_adjust(
+        pose6,
+        jnp.where(jnp.isfinite(X), X, 0.0),
+        st.obs,
+        st.valid,
+        point_ok,
+        K,
+        config=cfg.ba,
+        axis_name=axis_name,
+    )
+
+    # Per-pose accept gates (:699-717): reject poses that moved too far.
+    dR = exp_so3(res.poses[:, :3]) @ jnp.swapaxes(
+        exp_so3(pose6[:, :3]), -1, -2
+    )
+    drot = jnp.linalg.norm(log_so3(dR), axis=-1)
+    dtrans = jnp.linalg.norm(res.poses[:, 3:] - pose6[:, 3:], axis=-1)
+    pose_ok = (
+        ba_ok
+        & (res.cost < res.cost0)
+        & (drot < cfg.max_rot_update)
+        & (dtrans < cfg.max_trans_update)
+    )
+
+    new_T_wc = make_se3(exp_so3(res.poses[:, :3]), res.poses[:, 3:])
+    new_poses = jnp.where(
+        pose_ok[:, None, None], inv_se3(new_T_wc), st.poses
+    )
+    info = {
+        "ba_ran": ba_ok,
+        "ba_cost0": res.cost0,
+        "ba_cost": res.cost,
+        "ba_landmarks": jnp.sum(point_ok),
+        "ba_accepted": jnp.sum(pose_ok),
+    }
+    return new_poses, pose_ok, info
