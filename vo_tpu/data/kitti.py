@@ -47,7 +47,19 @@ def list_images(image_dir: str, max_frames: int | None = None) -> list[str]:
 
 
 def load_gray(path: str) -> np.ndarray:
-    """Load a grayscale image as float32 (H, W) in [0, 255]."""
+    """Load a grayscale image as float32 (H, W) in [0, 255].
+
+    Prefers the native C++ PNG decoder (vo_tpu/runtime/native; bit-exact
+    vs PIL for 8-bit PNGs); falls back to PIL for other formats or when
+    the toolchain is unavailable."""
+    if path.lower().endswith(".png"):
+        try:
+            from ..runtime.loader import decode_png, native_available
+
+            if native_available():
+                return decode_png(path)
+        except Exception:
+            pass
     from PIL import Image
 
     img = Image.open(path)
@@ -87,3 +99,46 @@ class KittiSequence:
     def gt_path_xz(self) -> np.ndarray:
         """(N, 2) ground-truth x/z path, the reference's dump format."""
         return self.poses[:, [0, 2], 3]
+
+    def prefetched(self, n_threads: int = 4, ring: int = 16):
+        """Same sequence with background native decode (falls back to the
+        synchronous loader when the native library is unavailable)."""
+        try:
+            from ..runtime.loader import NativePrefetcher, native_available
+
+            if native_available():
+                return PrefetchedSequence(
+                    self, NativePrefetcher(self.image_paths, n_threads, ring)
+                )
+        except Exception:
+            pass
+        return self
+
+
+@dataclass
+class PrefetchedSequence:
+    """KittiSequence view whose frame() is served by the native
+    multi-threaded decoder (decode overlaps device compute)."""
+
+    base: KittiSequence
+    _prefetcher: object
+
+    @property
+    def poses(self) -> np.ndarray:
+        return self.base.poses
+
+    @property
+    def K(self) -> np.ndarray:
+        return self.base.K
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def frame(self, i: int) -> np.ndarray:
+        return self._prefetcher.get(i)
+
+    def gt_path_xz(self) -> np.ndarray:
+        return self.base.gt_path_xz()
+
+    def close(self):
+        self._prefetcher.close()

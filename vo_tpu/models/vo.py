@@ -10,9 +10,12 @@ TPU re-design of the reference's drivers:
 - `MatchingVO` = vo_matching (feature_matching.cpp): detect + describe every
   frame, knn(2) ratio matching against the previous frame, same geometry.
 
-Everything per frame is ONE jitted program over fixed-capacity masked
-arrays, including the data-dependent fallback (lax.cond — XLA executes only
-the taken branch). The host loop only decodes images and logs poses.
+Each frame is one small jitted program over fixed-capacity masked arrays.
+Data-dependent choices (the re-detect fallback) are made on the HOST from
+asynchronously fetched scalars and select between precompiled programs —
+in-graph lax.cond mega-branches compile to pathological TPU code and
+host-synchronous reads cost ~150 ms on tunneled TPUs (see TrackingVO).
+The host loop only decodes images and dispatches.
 """
 
 from __future__ import annotations
@@ -23,14 +26,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
-
 from ..frontend.orb import OrbConfig, level_budgets, orb_detect_and_compute
+from ..frontend.sift import SiftConfig, sift_detect_and_compute
 from ..geometry.epipolar import normalize_pixels, ransac_essential, recover_pose
 from ..geometry.scale import relative_scale_matched, relative_scale_unmatched
 from ..geometry.se3 import inv_se3, make_se3
 from ..geometry.triangulate import triangulate_normalized
-from ..ops.hamming import match_descriptors
+from ..ops.hamming import knn2_ratio_match, l2_table, match_descriptors
 from ..ops.lk import LKConfig, lk_pyramid_track
 from ..ops.pyramid import build_halving_pyramid
 
@@ -52,6 +54,34 @@ class VOConfig(NamedTuple):
     # "unmatched": compaction-order pairing of independent clouds — the
     # matching drivers' truncation semantics (feature_matching.cpp:251-263).
     scale_mode: str = "matched"
+    # Frontend: "orb" (Hamming bits) or "sift" (L2 float descriptors) —
+    # the reference's two detector families (feature_matching.cpp:27-33).
+    detector: str = "orb"
+    sift: SiftConfig = SiftConfig()
+    # Re-detect gate: "async" never blocks on the device->host survivor
+    # count (decision lags ~RTT; fastest on tunneled TPUs), "sync" waits
+    # for it every frame (bit-reproducible runs; cheap when the device is
+    # local/CPU).
+    fallback_gate: str = "async"
+
+
+def detect_and_describe(img: jnp.ndarray, cfg: "VOConfig"):
+    """Uniform frontend: returns (pts (K, 2), desc, valid). `desc` is
+    (K, 256) uint8 bit planes for ORB, (K, 128) float32 for SIFT."""
+    if cfg.detector == "sift":
+        f = sift_detect_and_compute(img, cfg.sift)
+        return jnp.stack([f.xs, f.ys], axis=1), f.desc, f.valid
+    f = orb_detect_and_compute(img, cfg.orb)
+    return jnp.stack([f.xs, f.ys], axis=1), f.bits, f.valid
+
+
+def match_features(desc1, desc2, valid1, valid2, cfg: "VOConfig"):
+    """knn2 + ratio matching in the detector's metric (Hamming / L2)."""
+    if cfg.detector == "sift":
+        return knn2_ratio_match(
+            l2_table(desc1, desc2), valid1, valid2, cfg.match_ratio
+        )
+    return match_descriptors(desc1, desc2, valid1, valid2, cfg.match_ratio)
 
 
 class FrameOutput(NamedTuple):
@@ -62,8 +92,10 @@ class FrameOutput(NamedTuple):
     fallback: jnp.ndarray  # () bool — tracking pipeline re-detected
 
 
-def _feature_capacity(orb_cfg: OrbConfig) -> int:
-    return sum(level_budgets(orb_cfg))
+def _feature_capacity(cfg: VOConfig) -> int:
+    if cfg.detector == "sift":
+        return cfg.sift.nfeatures
+    return sum(level_budgets(cfg.orb))
 
 
 def _pose_scale_chain(
@@ -125,36 +157,109 @@ class TrackingState(NamedTuple):
     key: jax.Array
 
 
+class _AsyncScalarGate:
+    """Non-blocking threshold watch on a stream of device scalars.
+
+    Each step enqueues its survivor count (async D2H started); `update()`
+    drains whatever has ARRIVED (is_ready, never blocks) and reports
+    whether the newest arrived value — from a step after the last trigger
+    — is below the threshold. On a tunneled TPU (~150 ms readback
+    latency) the decision lags a few frames behind; the device pipeline
+    never stalls."""
+
+    def __init__(self, threshold: int, mode: str = "async"):
+        self.threshold = threshold
+        self.mode = mode
+        self._inbox: list = []  # (step_idx, device scalar)
+        self._step = 0
+        self._last_trigger = -1
+        self._last_val_idx = -1
+        self._last_val = None
+
+    def reset(self):
+        self._inbox.clear()
+        self._step = 0
+        self._last_trigger = -1
+        self._last_val_idx = -1
+        self._last_val = None
+
+    def push(self, scalar) -> None:
+        self._step += 1
+        try:
+            scalar.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._inbox.append((self._step, scalar))
+
+    def update(self) -> bool:
+        while self._inbox:
+            idx, arr = self._inbox[0]
+            if self.mode == "async":
+                ready = getattr(arr, "is_ready", lambda: True)()
+                if not ready:
+                    break
+            self._inbox.pop(0)
+            self._last_val_idx, self._last_val = idx, int(arr)
+        trigger = (
+            self._last_val is not None
+            and self._last_val < self.threshold
+            and self._last_val_idx > self._last_trigger
+        )
+        if trigger:
+            self._last_trigger = self._step  # wait for post-refresh counts
+        return trigger
+
+
 class TrackingVO:
-    """vo_tracking-equivalent pipeline. Use `init(img0)` then `step(...)`."""
+    """vo_tracking-equivalent pipeline. Use `init(img0)` then `step(...)`.
+
+    TPU latency design: the reference's same-frame re-detect fallback
+    (feature_tracking.cpp:69-71) is a data-dependent branch. A lax.cond
+    with a heavy fallback branch compiles into a pathologically slow TPU
+    program (measured ~70x the cost of its stages), and a synchronous
+    host decision would serialize a ~150 ms device->host readback into
+    every frame on tunneled TPUs. Instead the survivor count is watched
+    through a NON-BLOCKING async gate (_AsyncScalarGate): the re-detect
+    program runs a few frames after the count actually dropped, and the
+    device pipeline never waits on the host."""
 
     def __init__(self, K: np.ndarray, config: VOConfig = VOConfig()):
         self.cfg = config
         self.K = jnp.asarray(K, jnp.float32)
-        self.capacity = _feature_capacity(config.orb)
+        self.capacity = _feature_capacity(config)
         self._init_jit = jax.jit(
             functools.partial(_tracking_init, cfg=config), static_argnames=()
         )
-        self._step_jit = jax.jit(functools.partial(_tracking_step, cfg=config))
+        self._track_jit = jax.jit(functools.partial(_track_step, cfg=config))
+        self._refresh_jit = jax.jit(
+            functools.partial(_refresh_step, cfg=config)
+        )
+        self._gate = _AsyncScalarGate(config.min_tracked, config.fallback_gate)
 
     def init(self, img0: np.ndarray, seed: int = 0) -> TrackingState:
+        self._gate.reset()
         return self._init_jit(
             jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
         )
 
     def step(self, state: TrackingState, img: np.ndarray):
-        return self._step_jit(state, jnp.asarray(img, jnp.float32), self.K)
+        img = jnp.asarray(img, jnp.float32)
+        if self._gate.update():
+            state, out = self._refresh_jit(state, img, self.K)
+        else:
+            state, out = self._track_jit(state, img, self.K)
+        self._gate.push(out.n_assoc)
+        return state, out
 
 
 def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
-    feats = orb_detect_and_compute(img0, cfg.orb)
-    pts = jnp.stack([feats.xs, feats.ys], axis=1)
+    pts, _, feats_valid = detect_and_describe(img0, cfg)
     K_cap = pts.shape[0]
     pyr = tuple(build_halving_pyramid(img0, cfg.lk.max_level + 1))
     return TrackingState(
         pyramid=pyr,
         pts=pts,
-        pts_valid=feats.valid,
+        pts_valid=feats_valid,
         prev3d=jnp.zeros((K_cap, 3), jnp.float32),
         prev3d_valid=jnp.zeros((K_cap,), bool),
         pose=jnp.eye(4, dtype=jnp.float32),
@@ -162,40 +267,14 @@ def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
     )
 
 
-def _tracking_step(
-    state: TrackingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+def _finish_tracking_step(
+    state, pyr2, pts1, pts2, valid, K, cfg: VOConfig, fallback: bool
 ):
-    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
-
-    tracked, status = lk_pyramid_track(
-        state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
-    )
-    n_tracked = jnp.sum(status)
-    need_fallback = n_tracked < cfg.min_tracked
-
-    def fallback(_):
-        # re-detect on both frames + Hamming knn matching
-        # (feature_tracking.cpp:195-220)
-        f1 = orb_detect_and_compute(state.pyramid[0], cfg.orb)
-        f2 = orb_detect_and_compute(img, cfg.orb)
-        m = match_descriptors(
-            f1.bits, f2.bits, f1.valid, f2.valid, cfg.match_ratio
-        )
-        p1 = jnp.stack([f1.xs, f1.ys], axis=1)
-        p2 = jnp.stack([f2.xs[m.idx], f2.ys[m.idx]], axis=1)
-        return p1, p2, m.valid
-
-    def keep_tracking(_):
-        return state.pts, tracked, status
-
-    pts1, pts2, valid = lax.cond(need_fallback, fallback, keep_tracking, None)
-
     key, sub = jax.random.split(state.key)
     new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
         pts1, pts2, valid, K,
         state.prev3d, state.prev3d_valid, state.pose, sub, cfg,
     )
-
     new_state = TrackingState(
         pyramid=pyr2,
         pts=pts2,
@@ -210,18 +289,49 @@ def _tracking_step(
         scale=s,
         n_assoc=jnp.sum(valid),
         n_inliers=n_inl,
-        fallback=need_fallback,
+        fallback=jnp.asarray(fallback),
     )
     return new_state, out
+
+
+def _track_step(
+    state: TrackingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+):
+    """Pure LK-tracking step (no re-detect): the flagship hot path."""
+    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
+    tracked, status = lk_pyramid_track(
+        state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
+    )
+    return _finish_tracking_step(
+        state, pyr2, state.pts, tracked, status, K, cfg, fallback=False
+    )
+
+
+def _refresh_step(
+    state: TrackingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+):
+    """Re-detect on both frames + knn matching in the detector's metric
+    (feature_tracking.cpp:195-220); replaces tracking for this pair."""
+    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
+    p1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
+    p2, d2, v2 = detect_and_describe(img, cfg)
+    m = match_features(d1, d2, v1, v2, cfg)
+    return _finish_tracking_step(
+        state, pyr2, p1, p2[m.idx], m.valid, K, cfg, fallback=True
+    )
+
+
+# Backwards-compatible alias for the fused single-program form (still used
+# by older callers; prefer TrackingVO which schedules the two programs).
+_tracking_step = _track_step
 
 
 # ---------------------------------------------------------------- matching
 
 
 class MatchingState(NamedTuple):
-    xs: jnp.ndarray  # prev frame features
-    ys: jnp.ndarray
-    bits: jnp.ndarray
+    pts: jnp.ndarray  # (K, 2) prev frame keypoints
+    desc: jnp.ndarray  # ORB bit planes or SIFT float descriptors
     valid: jnp.ndarray
     prev3d: jnp.ndarray
     prev3d_valid: jnp.ndarray
@@ -235,7 +345,7 @@ class MatchingVO:
     def __init__(self, K: np.ndarray, config: VOConfig = VOConfig()):
         self.cfg = config
         self.K = jnp.asarray(K, jnp.float32)
-        self.capacity = _feature_capacity(config.orb)
+        self.capacity = _feature_capacity(config)
         self._init_jit = jax.jit(functools.partial(_matching_init, cfg=config))
         self._step_jit = jax.jit(functools.partial(_matching_step, cfg=config))
 
@@ -249,10 +359,10 @@ class MatchingVO:
 
 
 def _matching_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
-    f = orb_detect_and_compute(img0, cfg.orb)
-    K_cap = f.xs.shape[0]
+    pts, desc, valid = detect_and_describe(img0, cfg)
+    K_cap = pts.shape[0]
     return MatchingState(
-        xs=f.xs, ys=f.ys, bits=f.bits, valid=f.valid,
+        pts=pts, desc=desc, valid=valid,
         prev3d=jnp.zeros((K_cap, 3), jnp.float32),
         prev3d_valid=jnp.zeros((K_cap,), bool),
         pose=jnp.eye(4, dtype=jnp.float32),
@@ -263,12 +373,10 @@ def _matching_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
 def _matching_step(
     state: MatchingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
 ):
-    f2 = orb_detect_and_compute(img, cfg.orb)
-    m = match_descriptors(
-        state.bits, f2.bits, state.valid, f2.valid, cfg.match_ratio
-    )
-    pts1 = jnp.stack([state.xs, state.ys], axis=1)
-    pts2 = jnp.stack([f2.xs[m.idx], f2.ys[m.idx]], axis=1)
+    pts2_all, desc2, valid2 = detect_and_describe(img, cfg)
+    m = match_features(state.desc, desc2, state.valid, valid2, cfg)
+    pts1 = state.pts
+    pts2 = pts2_all[m.idx]
 
     key, sub = jax.random.split(state.key)
     new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
@@ -277,7 +385,7 @@ def _matching_step(
     )
 
     new_state = MatchingState(
-        xs=f2.xs, ys=f2.ys, bits=f2.bits, valid=f2.valid,
+        pts=pts2_all, desc=desc2, valid=valid2,
         prev3d=cur3d, prev3d_valid=cur3d_valid, pose=new_pose, key=key,
     )
     out = FrameOutput(
@@ -293,27 +401,47 @@ def _matching_step(
 # ---------------------------------------------------------------- driver
 
 
+def _start_host_copy(out) -> None:
+    """Begin async D2H for every leaf of a step output (cheap to call;
+    makes the later np.asarray() consumption non-blocking)."""
+    for leaf in jax.tree.leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
 def run_vo(seq, pipeline, verbose: bool = False):
     """Host loop over a sequence object (KittiSequence / SyntheticSequence).
+
+    Latency design: on tunneled TPUs a synchronous device->host read costs
+    ~150 ms, so the loop only DISPATCHES steps (each step's outputs start
+    an async copy) and all logging/conversion happens after the loop —
+    the device pipeline never stalls on the host.
 
     Returns (est_path (N, 2) x/z, gt_path (N, 2), scales (N, 2) [gt, est],
     stats list of per-frame dicts)."""
     gt_poses = seq.poses
     state = pipeline.init(seq.frame(0))
-    est_path = [np.asarray(state.pose)[np.ix_([0, 2], [3, 3])][:, 0]]
-    gt_path = [gt_poses[0][[0, 2], 3]]
-    scales, stats = [(1.0, 1.0)], [{}]
-
+    outs = []
     for i in range(1, len(seq)):
         state, out = pipeline.step(state, seq.frame(i))
+        _start_host_copy(out)
+        outs.append(out)
+        if verbose and i % 100 == 0:
+            print(f"dispatched frame {i}")
+
+    est_path = [np.zeros(2)]
+    gt_path = [gt_poses[0][[0, 2], 3]]
+    scales, stats = [(1.0, 1.0)], [{}]
+    for i, out in enumerate(outs, start=1):
         pose = np.asarray(out.pose)
         est_path.append(pose[[0, 2], 3])
         gt_path.append(gt_poses[i][[0, 2], 3])
         gt_scale = float(
             np.linalg.norm(gt_poses[i][:3, 3] - gt_poses[i - 1][:3, 3])
         )
-        est_prev = est_path[-2]
-        est_scale = float(np.linalg.norm(est_path[-1] - est_prev))
+        est_scale = float(np.linalg.norm(est_path[-1] - est_path[-2]))
         scales.append((max(gt_scale, 1e-9), max(est_scale, 1e-9)))
         stats.append(
             {
@@ -323,9 +451,6 @@ def run_vo(seq, pipeline, verbose: bool = False):
                 "fallback": bool(out.fallback),
             }
         )
-        if verbose and i % 50 == 0:
-            print(f"frame {i}: assoc={stats[-1]['n_assoc']} "
-                  f"inl={stats[-1]['n_inliers']} s={stats[-1]['scale']:.3f}")
 
     return (
         np.asarray(est_path),

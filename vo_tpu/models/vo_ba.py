@@ -5,9 +5,11 @@ there, ORB here by default; the frontend is a config knob) plus a 5-frame
 window refined by BA every 10 frames, and the estimated path of the window
 frames rewritten from the BA result (:237-247).
 
-TPU re-design: one jitted step; the BA solve is a lax.cond branch taken on
-trigger frames, operating on the fixed-shape window pytree carried in the
-state (no stored images, no re-tracking — see vo_tpu/ba/window.py).
+TPU re-design: four small jitted step variants (track/refresh x ba/no-ba)
+selected on the host (the BA cadence is host-known; the fallback uses the
+async-fetched previous survivor count), operating on the fixed-shape
+window pytree carried in the state (no stored images, no re-tracking —
+see vo_tpu/ba/window.py).
 """
 
 from __future__ import annotations
@@ -18,8 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
-
 from ..ba.window import (
     WindowConfig,
     WindowState,
@@ -28,11 +28,16 @@ from ..ba.window import (
     window_push,
     window_reset,
 )
-from ..frontend.orb import orb_detect_and_compute
-from ..ops.hamming import match_descriptors
 from ..ops.lk import lk_pyramid_track
 from ..ops.pyramid import build_halving_pyramid
-from .vo import FrameOutput, VOConfig, _feature_capacity, _pose_scale_chain
+from .vo import (
+    FrameOutput,
+    VOConfig,
+    _feature_capacity,
+    _pose_scale_chain,
+    detect_and_describe,
+    match_features,
+)
 
 
 class BAFrameOutput(NamedTuple):
@@ -59,7 +64,13 @@ class TrackingBAState(NamedTuple):
 
 
 class TrackingBAVO:
-    """vo_ba-equivalent pipeline: `init(img0)` then `step(state, img)`."""
+    """vo_ba-equivalent pipeline: `init(img0)` then `step(state, img)`.
+
+    Host-driven program selection (see TrackingVO): the BA trigger
+    (frame % ba_every == 0 with a full window) is host-computable, and
+    the re-detect fallback uses the async-fetched previous survivor
+    count — so each step dispatches one of four small data-independent
+    programs instead of one mega-program with in-graph lax.conds."""
 
     def __init__(
         self,
@@ -70,34 +81,61 @@ class TrackingBAVO:
         self.cfg = config
         self.wcfg = window
         self.K = jnp.asarray(K, jnp.float32)
-        self.capacity = _feature_capacity(config.orb)
+        self.capacity = _feature_capacity(config)
         self._init_jit = jax.jit(
             functools.partial(_ba_init, cfg=config, wcfg=window)
         )
-        self._step_jit = jax.jit(
-            functools.partial(_ba_step, cfg=config, wcfg=window)
-        )
+        self._step_jits = {
+            (refresh, do_ba): jax.jit(
+                functools.partial(
+                    _ba_step, cfg=config, wcfg=window,
+                    refresh=refresh, do_ba=do_ba,
+                )
+            )
+            for refresh in (False, True)
+            for do_ba in (False, True)
+        }
+        from .vo import _AsyncScalarGate
+
+        self._gate = _AsyncScalarGate(config.min_tracked, config.fallback_gate)
+        self._frame_idx = 0
+        self._win_fill = 0
 
     def init(self, img0: np.ndarray, seed: int = 0) -> TrackingBAState:
+        self._gate.reset()
+        self._frame_idx = 0
+        self._win_fill = 1  # init pushes frame 0
         return self._init_jit(
             jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
         )
 
     def step(self, state: TrackingBAState, img: np.ndarray):
-        return self._step_jit(state, jnp.asarray(img, jnp.float32), self.K)
+        refresh = self._gate.update()
+        self._win_fill = 1 if refresh else min(
+            self._win_fill + 1, self.wcfg.window_size
+        )
+        self._frame_idx += 1
+        do_ba = (
+            self._frame_idx % self.wcfg.ba_every == 0
+            and self._win_fill >= self.wcfg.window_size
+        )
+        state, out = self._step_jits[(refresh, do_ba)](
+            state, jnp.asarray(img, jnp.float32), self.K
+        )
+        self._gate.push(out.frame.n_assoc)
+        return state, out
 
 
 def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
-    feats = orb_detect_and_compute(img0, cfg.orb)
-    pts = jnp.stack([feats.xs, feats.ys], axis=1)
+    pts, _, feats_valid = detect_and_describe(img0, cfg)
     Kcap = pts.shape[0]
     pyr = tuple(build_halving_pyramid(img0, cfg.lk.max_level + 1))
     win = window_init(wcfg.window_size, Kcap)
-    win = window_push(win, jnp.eye(4, dtype=jnp.float32), pts, feats.valid)
+    win = window_push(win, jnp.eye(4, dtype=jnp.float32), pts, feats_valid)
     return TrackingBAState(
         pyramid=pyr,
         pts=pts,
-        pts_valid=feats.valid,
+        pts_valid=feats_valid,
         prev3d=jnp.zeros((Kcap, 3), jnp.float32),
         prev3d_valid=jnp.zeros((Kcap,), bool),
         pose=jnp.eye(4, dtype=jnp.float32),
@@ -108,28 +146,22 @@ def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
 
 
 def _ba_step(
-    state: TrackingBAState, img, K, cfg: VOConfig, wcfg: WindowConfig
+    state: TrackingBAState, img, K, cfg: VOConfig, wcfg: WindowConfig,
+    refresh: bool = False, do_ba: bool = False,
 ):
     pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
-    tracked, status = lk_pyramid_track(
-        state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
-    )
-    need_fallback = jnp.sum(status) < cfg.min_tracked
-
-    def fallback(_):
-        f1 = orb_detect_and_compute(state.pyramid[0], cfg.orb)
-        f2 = orb_detect_and_compute(img, cfg.orb)
-        m = match_descriptors(
-            f1.bits, f2.bits, f1.valid, f2.valid, cfg.match_ratio
+    if refresh:
+        # re-detect + match (feature_tracking.cpp:195-220); slot identity
+        # breaks, so the window resets below
+        pts1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
+        p2, d2, v2 = detect_and_describe(img, cfg)
+        m = match_features(d1, d2, v1, v2, cfg)
+        pts2, valid = p2[m.idx], m.valid
+    else:
+        pts1 = state.pts
+        pts2, valid = lk_pyramid_track(
+            state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
         )
-        p1 = jnp.stack([f1.xs, f1.ys], axis=1)
-        p2 = jnp.stack([f2.xs[m.idx], f2.ys[m.idx]], axis=1)
-        return p1, p2, m.valid
-
-    def keep(_):
-        return state.pts, tracked, status
-
-    pts1, pts2, valid = lax.cond(need_fallback, fallback, keep, None)
 
     key, sub = jax.random.split(state.key)
     new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
@@ -140,23 +172,13 @@ def _ba_step(
     # Window upkeep: slot identity breaks on re-detect -> reset (the
     # reference instead re-tracks across stored window images; our tracks
     # are only consistent between re-detects).
-    win = lax.cond(
-        need_fallback,
-        lambda w: window_reset(w),
-        lambda w: w,
-        state.window,
-    )
+    win = window_reset(state.window) if refresh else state.window
     win = window_push(win, new_pose, pts2, valid)
 
     frame_idx = state.frame_idx + 1
-    trigger = (frame_idx % wcfg.ba_every == 0) & (
-        win.count >= wcfg.window_size
-    )
-
-    def do_ba(w):
-        return run_window_ba(w, K, wcfg)
-
-    def no_ba(w):
+    if do_ba:
+        new_win_poses, pose_ok, info = run_window_ba(win, K, wcfg)
+    else:
         info = {
             "ba_ran": jnp.asarray(False),
             "ba_cost0": jnp.asarray(0.0, jnp.float32),
@@ -164,9 +186,8 @@ def _ba_step(
             "ba_landmarks": jnp.asarray(0, jnp.int32),
             "ba_accepted": jnp.asarray(0, jnp.int32),
         }
-        return w.poses, jnp.zeros((w.poses.shape[0],), bool), info
-
-    new_win_poses, pose_ok, info = lax.cond(trigger, do_ba, no_ba, win)
+        new_win_poses = win.poses
+        pose_ok = jnp.zeros((win.poses.shape[0],), bool)
     win = win._replace(poses=new_win_poses)
     # Pipeline pose follows the (possibly refined) newest window pose.
     new_pose = new_win_poses[-1]
@@ -188,7 +209,7 @@ def _ba_step(
             scale=s,
             n_assoc=jnp.sum(valid),
             n_inliers=n_inl,
-            fallback=need_fallback,
+            fallback=jnp.asarray(refresh),
         ),
         window_poses=new_win_poses,
         window_count=win.count,
@@ -203,7 +224,10 @@ def _ba_step(
 
 def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False):
     """Host loop with the reference's est-path rewrite on BA frames
-    (with_bundle_adjustment.cpp:237-247)."""
+    (with_bundle_adjustment.cpp:237-247). Dispatch-only loop + deferred
+    consumption (see run_vo's latency note)."""
+    from .vo import _start_host_copy
+
     gt_poses = seq.poses
     state = pipeline.init(seq.frame(0))
     est_path = [np.zeros(2)]
@@ -211,8 +235,13 @@ def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False):
     scales, stats = [(1.0, 1.0)], [{}]
     Wn = pipeline.wcfg.window_size
 
+    outs = []
     for i in range(1, len(seq)):
         state, out = pipeline.step(state, seq.frame(i))
+        _start_host_copy(out)
+        outs.append(out)
+
+    for i, out in enumerate(outs, start=1):
         pose = np.asarray(out.frame.pose)
         est_path.append(pose[[0, 2], 3])
         if bool(out.ba_ran):
