@@ -214,7 +214,7 @@ def recover_pose(
     the default is effectively unbounded — a hard 50x gate (OpenCV's
     default distanceThresh) disenfranchises most voters in far-field
     scenes and can flip the decomposition choice."""
-    from .triangulate import triangulate_normalized
+    from .triangulate import triangulate_depths
 
     U, s, Vt = jnp.linalg.svd(E)
     # force proper rotations
@@ -229,10 +229,10 @@ def recover_pose(
     ts = jnp.stack([t, -t, t, -t])  # (4, 3)
 
     def cheirality(R, tvec):
-        X = triangulate_normalized(R, tvec, pts1n, pts2n)  # (N, 3)
-        z1 = X[:, 2]
-        z2 = (X @ R.T + tvec)[:, 2]
-        finite = jnp.all(jnp.isfinite(X), axis=1)
+        # closed-form two-view depths (no eigendecomposition): the vote
+        # only needs depth signs/magnitudes, not 3D points
+        z1, z2 = triangulate_depths(R, tvec, pts1n, pts2n)
+        finite = jnp.isfinite(z1) & jnp.isfinite(z2)
         good = (
             (z1 > 0) & (z2 > 0)
             & (z1 < max_depth) & (z2 < max_depth)

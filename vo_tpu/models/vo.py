@@ -31,7 +31,7 @@ from ..frontend.sift import SiftConfig, sift_detect_and_compute
 from ..geometry.epipolar import normalize_pixels, ransac_essential, recover_pose
 from ..geometry.scale import relative_scale_matched, relative_scale_unmatched
 from ..geometry.se3 import inv_se3, make_se3
-from ..geometry.triangulate import triangulate_normalized
+from ..geometry.triangulate import triangulate_fast
 from ..ops.hamming import knn2_ratio_match, l2_table, match_descriptors
 from ..ops.lk import LKConfig, lk_pyramid_track
 from ..ops.pyramid import build_halving_pyramid
@@ -129,7 +129,10 @@ def _pose_scale_chain(
     # reference's get_scale triangulates the full pts arrays,
     # feature_tracking.cpp:262-281) and estimate scale against the previous
     # frame-pair's cloud by compacted index pairing (SURVEY.md §3.2).
-    X = triangulate_normalized(R, t, p1n, p2n)
+    # Closed-form two-view depths (TPU fast path) instead of the DLT's
+    # batched 4x4 eigendecomposition — the scale median is insensitive to
+    # the algebraic-vs-ray-distance difference.
+    X = triangulate_fast(R, t, p1n, p2n)
     cur_valid = valid & jnp.all(jnp.isfinite(X), axis=1)
     if cfg.scale_mode == "matched":
         s = relative_scale_matched(prev3d, X, prev3d_valid & cur_valid)

@@ -26,7 +26,7 @@ import numpy as np
 from ..geometry.epipolar import normalize_pixels, ransac_essential, recover_pose
 from ..geometry.scale import relative_scale_matched
 from ..geometry.se3 import inv_se3, make_se3
-from ..geometry.triangulate import triangulate_normalized
+from ..geometry.triangulate import triangulate_fast
 from .vo import FrameOutput, VOConfig, _feature_capacity, detect_and_describe, match_features
 
 
@@ -113,9 +113,9 @@ def _tf_step(state: ThreeFrameState, img, K, cfg: VOConfig):
 
     # 3-frame scale: cloud_12 triangulated in frame 1, moved into frame 2
     # (:158-159); cloud_23 in frame 2; matched median ratio (:140-151).
-    X12 = triangulate_normalized(state.R_ab, state.t_ab, p1n, p2n)
+    X12 = triangulate_fast(state.R_ab, state.t_ab, p1n, p2n)
     X12_b = X12 @ state.R_ab.T + state.t_ab
-    X23 = triangulate_normalized(R23, t23, p2n, p3n)
+    X23 = triangulate_fast(R23, t23, p2n, p3n)
     cloud_valid = (
         trip_valid
         & jnp.all(jnp.isfinite(X12_b), axis=1)

@@ -46,7 +46,13 @@ class LKConfig(NamedTuple):
     iters: int = 30  # TermCriteria 30, 0.01 (feature_tracking.cpp:178)
     eps: float = 0.01
     min_eig_threshold: float = 1e-4  # cv2 minEigThreshold default
-    window_margin: int = 10  # per-level search radius (TPU window bound)
+    # per-level search radius beyond the patch (TPU window bound): after
+    # coarse-to-fine propagation each level only refines a few pixels...
+    window_margin: int = 6
+    # ...except the coarsest level, which must absorb the full frame
+    # motion at that scale (KITTI near-field: ~150 px at level 0 -> ~20 px
+    # at level 3)
+    coarse_margin: int = 24
 
 
 def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
@@ -106,11 +112,22 @@ def _sample_windows(win_img: jnp.ndarray, qx, qy, wp: int) -> jnp.ndarray:
 
 
 def _crop_windows(img: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray, S: int):
-    """(N, S, S) integer crops at per-point origins (the one gather)."""
+    """(N, S, S) integer crops at per-point origins.
+
+    TPU formulation (profiled): a direct (N, S, S) advanced-index gather
+    runs at ~130 M elements/s and dominated the whole step. Instead:
+    rows by an axis-0 gather (contiguous lanes, bandwidth-bound), then
+    column selection as a batched one-hot matmul on the MXU."""
+    N = ox.shape[0]
+    H, W = img.shape
     ar = jnp.arange(S)
-    yy = oy[:, None, None] + ar[None, :, None]
-    xx = ox[:, None, None] + ar[None, None, :]
-    return img[yy, xx]
+    rows = img[(oy[:, None] + ar[None, :]).reshape(-1)]  # (N*S, W)
+    rows = rows.reshape(N, S, W)
+    cols = ox[:, None] + ar[None, :]  # (N, S) target column ids
+    onehot = (
+        jnp.arange(W)[None, :, None] == cols[:, None, :]
+    ).astype(img.dtype)  # (N, W, S)
+    return jnp.einsum("nsw,nwj->nsj", rows, onehot)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -142,15 +159,32 @@ def lk_pyramid_track(
         if Hl < wp or Wl < wp:
             continue  # level smaller than the window: nothing to refine
         # static window size: patch + search margin, bounded by the level
-        S = min(wp + 2 * config.window_margin, Hl, Wl)
+        margin = (
+            config.coarse_margin if L == n_levels - 1 else config.window_margin
+        )
+        S = min(wp + 2 * margin, Hl, Wl)
+        full_margin = S == wp + 2 * margin  # level big enough to judge
 
         p = pts / (2.0**L)
         c0 = p + flow  # initial estimate at this level
-        ox = jnp.clip(jnp.round(c0[:, 0]).astype(jnp.int32) - S // 2, 0, Wl - S)
-        oy = jnp.clip(jnp.round(c0[:, 1]).astype(jnp.int32) - S // 2, 0, Hl - S)
-        win1 = _crop_windows(img1, ox, oy, S)  # (N, S, S) — once
-        win2 = _crop_windows(img2, ox, oy, S)
-        origin = jnp.stack([ox, oy], 1).astype(jnp.float32)
+        # TEMPLATE window centered on the source point, SEARCH window on
+        # the current estimate — decoupled, so the per-level margin only
+        # needs to absorb this level's refinement, not the whole flow.
+        def _origins(c):
+            ox = jnp.clip(
+                jnp.round(c[:, 0]).astype(jnp.int32) - S // 2, 0, Wl - S
+            )
+            oy = jnp.clip(
+                jnp.round(c[:, 1]).astype(jnp.int32) - S // 2, 0, Hl - S
+            )
+            return ox, oy
+
+        ox1, oy1 = _origins(p)
+        ox2, oy2 = _origins(c0)
+        win1 = _crop_windows(img1, ox1, oy1, S)  # (N, S, S) — once
+        win2 = _crop_windows(img2, ox2, oy2, S)
+        origin1 = jnp.stack([ox1, oy1], 1).astype(jnp.float32)
+        origin = jnp.stack([ox2, oy2], 1).astype(jnp.float32)
 
         # Template patch + gradients at the TEMPLATE position p. A
         # template partially outside the window (point near the level
@@ -158,7 +192,7 @@ def lk_pyramid_track(
         # at this level: such points keep their propagated flow — the
         # analogue of cv2's border-replicate degradation, without killing
         # the track.
-        q1 = p - origin  # local coords in the window
+        q1 = p - origin1  # local coords in the template window
         half0 = (wp - 1) / 2.0
         tmpl_out = (
             (q1[:, 0] < half0 - 1.0) | (q1[:, 0] > S - half0)
@@ -217,6 +251,16 @@ def lk_pyramid_track(
         # tmpl_out points were never refined here: their (garbage) template
         # must not decide solvability — they pass through to finer levels.
         ok = ok & jnp.where(tmpl_out, True, solvable) & inside
+        if full_margin:
+            # a point that ENDS outside its search window exceeded the
+            # level's search radius: divergent -> lost (skipped on levels
+            # too small to host the full margin, where the box degenerates)
+            q2f = c - origin
+            ended_out = (
+                (q2f[:, 0] < lo) | (q2f[:, 0] > hi_x)
+                | (q2f[:, 1] < lo) | (q2f[:, 1] > hi_y)
+            )
+            ok = ok & (tmpl_out | ~ended_out)
         flow = v * 2.0 if L > 0 else v  # propagate guess to finer level
 
     new_pts = pts + flow
