@@ -33,7 +33,12 @@ from ..geometry.scale import relative_scale_matched, relative_scale_unmatched
 from ..geometry.se3 import inv_se3, make_se3
 from ..geometry.triangulate import triangulate_fast
 from ..ops.hamming import knn2_ratio_match, l2_table, match_descriptors
-from ..ops.lk import LKConfig, lk_pyramid_track
+from ..ops.lk import (
+    LKCache,
+    LKConfig,
+    lk_make_cache,
+    lk_pyramid_track_cached,
+)
 from ..ops.pyramid import build_halving_pyramid
 
 
@@ -151,7 +156,8 @@ def _pose_scale_chain(
 
 
 class TrackingState(NamedTuple):
-    pyramid: tuple  # prev frame halving pyramid (LK source)
+    pyramid: tuple  # prev frame halving pyramid (refresh detect source)
+    lk_cache: LKCache  # prev frame per-point windows (template source)
     pts: jnp.ndarray  # (K, 2) tracked point positions in prev frame
     pts_valid: jnp.ndarray  # (K,)
     prev3d: jnp.ndarray  # (K, 3) previous frame-pair cloud
@@ -261,6 +267,7 @@ def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
     pyr = tuple(build_halving_pyramid(img0, cfg.lk.max_level + 1))
     return TrackingState(
         pyramid=pyr,
+        lk_cache=lk_make_cache(pyr, pts, cfg.lk),
         pts=pts,
         pts_valid=feats_valid,
         prev3d=jnp.zeros((K_cap, 3), jnp.float32),
@@ -271,7 +278,7 @@ def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
 
 
 def _finish_tracking_step(
-    state, pyr2, pts1, pts2, valid, K, cfg: VOConfig, fallback: bool
+    state, pyr2, cache2, pts1, pts2, valid, K, cfg: VOConfig, fallback: bool
 ):
     key, sub = jax.random.split(state.key)
     new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
@@ -280,6 +287,7 @@ def _finish_tracking_step(
     )
     new_state = TrackingState(
         pyramid=pyr2,
+        lk_cache=cache2,
         pts=pts2,
         pts_valid=valid,
         prev3d=cur3d,
@@ -302,11 +310,12 @@ def _track_step(
 ):
     """Pure LK-tracking step (no re-detect): the flagship hot path."""
     pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
-    tracked, status = lk_pyramid_track(
-        state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
+    tracked, status, cache2 = lk_pyramid_track_cached(
+        state.lk_cache, pyr2, state.pts, state.pts_valid, cfg.lk
     )
     return _finish_tracking_step(
-        state, pyr2, state.pts, tracked, status, K, cfg, fallback=False
+        state, pyr2, cache2, state.pts, tracked, status, K, cfg,
+        fallback=False,
     )
 
 
@@ -319,8 +328,10 @@ def _refresh_step(
     p1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
     p2, d2, v2 = detect_and_describe(img, cfg)
     m = match_features(d1, d2, v1, v2, cfg)
+    pts2 = p2[m.idx]
+    cache2 = lk_make_cache(pyr2, pts2, cfg.lk)
     return _finish_tracking_step(
-        state, pyr2, p1, p2[m.idx], m.valid, K, cfg, fallback=True
+        state, pyr2, cache2, p1, pts2, m.valid, K, cfg, fallback=True
     )
 
 

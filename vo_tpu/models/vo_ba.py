@@ -28,7 +28,7 @@ from ..ba.window import (
     window_push,
     window_reset,
 )
-from ..ops.lk import lk_pyramid_track
+from ..ops.lk import LKCache, lk_make_cache, lk_pyramid_track_cached
 from ..ops.pyramid import build_halving_pyramid
 from .vo import (
     FrameOutput,
@@ -53,6 +53,7 @@ class BAFrameOutput(NamedTuple):
 
 class TrackingBAState(NamedTuple):
     pyramid: tuple
+    lk_cache: LKCache
     pts: jnp.ndarray
     pts_valid: jnp.ndarray
     prev3d: jnp.ndarray
@@ -134,6 +135,7 @@ def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
     win = window_push(win, jnp.eye(4, dtype=jnp.float32), pts, feats_valid)
     return TrackingBAState(
         pyramid=pyr,
+        lk_cache=lk_make_cache(pyr, pts, cfg.lk),
         pts=pts,
         pts_valid=feats_valid,
         prev3d=jnp.zeros((Kcap, 3), jnp.float32),
@@ -157,10 +159,11 @@ def _ba_step(
         p2, d2, v2 = detect_and_describe(img, cfg)
         m = match_features(d1, d2, v1, v2, cfg)
         pts2, valid = p2[m.idx], m.valid
+        cache2 = lk_make_cache(pyr2, pts2, cfg.lk)
     else:
         pts1 = state.pts
-        pts2, valid = lk_pyramid_track(
-            state.pyramid, pyr2, state.pts, state.pts_valid, cfg.lk
+        pts2, valid, cache2 = lk_pyramid_track_cached(
+            state.lk_cache, pyr2, state.pts, state.pts_valid, cfg.lk
         )
 
     key, sub = jax.random.split(state.key)
@@ -194,6 +197,7 @@ def _ba_step(
 
     new_state = TrackingBAState(
         pyramid=pyr2,
+        lk_cache=cache2,
         pts=pts2,
         pts_valid=valid,
         prev3d=cur3d,
