@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-BIG = jnp.float32(1e9)
+BIG = 1e9  # python float: a module-level jnp constant would
+# initialize the backend at import time (breaking platform overrides)
 
 
 class Matches(NamedTuple):

@@ -55,6 +55,13 @@ def main(argv=None) -> dict:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="result bundle directory")
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="checkpoint the pipeline state every N frames (resumes from "
+        "an existing checkpoint; BA window rewrites are not re-applied "
+        "to pre-resume frames)",
+    )
+    ap.add_argument("--checkpoint-file", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -72,7 +79,20 @@ def main(argv=None) -> dict:
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    est, gt, scales, stats = preset.run(seq, pipeline, verbose=args.verbose)
+    if args.checkpoint_every > 0:
+        from .checkpoint import CheckpointingRunner
+
+        ckpt = args.checkpoint_file or os.path.join(
+            args.out or ".", f"{args.preset}.ckpt.npz"
+        )
+        runner = CheckpointingRunner(
+            pipeline, ckpt, every=args.checkpoint_every
+        )
+        est, gt, scales, stats = runner.run(seq, verbose=args.verbose)
+    else:
+        est, gt, scales, stats = preset.run(
+            seq, pipeline, verbose=args.verbose
+        )
     run_s = time.perf_counter() - t0
 
     metrics = evaluate_paths(gt, est, scales)
