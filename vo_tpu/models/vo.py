@@ -36,10 +36,11 @@ from ..ops.hamming import knn2_ratio_match, l2_table, match_descriptors
 from ..ops.lk import (
     LKCache,
     LKConfig,
+    lk_build_pyramid,
     lk_make_cache,
     lk_pyramid_track_cached,
 )
-from ..ops.pyramid import build_halving_pyramid
+
 
 
 class VOConfig(NamedTuple):
@@ -264,7 +265,7 @@ class TrackingVO:
 def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
     pts, _, feats_valid = detect_and_describe(img0, cfg)
     K_cap = pts.shape[0]
-    pyr = tuple(build_halving_pyramid(img0, cfg.lk.max_level + 1))
+    pyr = lk_build_pyramid(img0, cfg.lk)
     return TrackingState(
         pyramid=pyr,
         lk_cache=lk_make_cache(pyr, pts, cfg.lk),
@@ -309,7 +310,7 @@ def _track_step(
     state: TrackingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
 ):
     """Pure LK-tracking step (no re-detect): the flagship hot path."""
-    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
+    pyr2 = lk_build_pyramid(img, cfg.lk)
     tracked, status, cache2 = lk_pyramid_track_cached(
         state.lk_cache, pyr2, state.pts, state.pts_valid, cfg.lk
     )
@@ -324,7 +325,7 @@ def _refresh_step(
 ):
     """Re-detect on both frames + knn matching in the detector's metric
     (feature_tracking.cpp:195-220); replaces tracking for this pair."""
-    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
+    pyr2 = lk_build_pyramid(img, cfg.lk)
     p1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
     p2, d2, v2 = detect_and_describe(img, cfg)
     m = match_features(d1, d2, v1, v2, cfg)

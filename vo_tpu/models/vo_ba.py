@@ -28,8 +28,13 @@ from ..ba.window import (
     window_push,
     window_reset,
 )
-from ..ops.lk import LKCache, lk_make_cache, lk_pyramid_track_cached
-from ..ops.pyramid import build_halving_pyramid
+from ..ops.lk import (
+    LKCache,
+    lk_build_pyramid,
+    lk_make_cache,
+    lk_pyramid_track_cached,
+)
+
 from .vo import (
     FrameOutput,
     VOConfig,
@@ -130,7 +135,7 @@ class TrackingBAVO:
 def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
     pts, _, feats_valid = detect_and_describe(img0, cfg)
     Kcap = pts.shape[0]
-    pyr = tuple(build_halving_pyramid(img0, cfg.lk.max_level + 1))
+    pyr = lk_build_pyramid(img0, cfg.lk)
     win = window_init(wcfg.window_size, Kcap)
     win = window_push(win, jnp.eye(4, dtype=jnp.float32), pts, feats_valid)
     return TrackingBAState(
@@ -151,7 +156,7 @@ def _ba_step(
     state: TrackingBAState, img, K, cfg: VOConfig, wcfg: WindowConfig,
     refresh: bool = False, do_ba: bool = False,
 ):
-    pyr2 = tuple(build_halving_pyramid(img, cfg.lk.max_level + 1))
+    pyr2 = lk_build_pyramid(img, cfg.lk)
     if refresh:
         # re-detect + match (feature_tracking.cpp:195-220); slot identity
         # breaks, so the window resets below

@@ -40,6 +40,13 @@ from jax import lax
 from .pyramid import build_halving_pyramid
 
 
+def lk_build_pyramid(img, config: "LKConfig"):
+    """Halving pyramid with levels 1+ in the LK compute dtype (level 0
+    stays the raw image for the detectors)."""
+    dt = jnp.bfloat16 if config.precision == "bf16" else None
+    return tuple(build_halving_pyramid(img, config.max_level + 1, dtype=dt))
+
+
 class LKConfig(NamedTuple):
     win: int = 21  # feature_tracking.cpp:174 (21, 21)
     max_level: int = 3  # maxLevel 3 -> 4 levels

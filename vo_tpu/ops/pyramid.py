@@ -71,13 +71,21 @@ def build_pyramid(
     return [img] + [resize_bilinear(img, s) for s in shapes[1:]]
 
 
-def build_halving_pyramid(img: jnp.ndarray, n_levels: int) -> list[jnp.ndarray]:
+def build_halving_pyramid(
+    img: jnp.ndarray, n_levels: int, dtype=None
+) -> list[jnp.ndarray]:
     """Power-of-2 pyramid for pyramidal LK (cv::buildOpticalFlowPyramid
-    semantics): each level is a 5-tap binomial blur + 2x decimation."""
+    semantics): each level is a 5-tap binomial blur + 2x decimation.
+
+    Level 0 is the input unchanged (detectors read it at full precision);
+    `dtype` (e.g. bfloat16) applies to levels 1+ only — their sole consumer
+    is the bf16 LK window path, so halving the conv/storage cost there is
+    free accuracy-wise."""
     from .conv import binomial_blur5
 
     levels = [img]
+    cur = img if dtype is None else img.astype(dtype)
     for _ in range(n_levels - 1):
-        blurred = binomial_blur5(levels[-1])
-        levels.append(blurred[..., ::2, ::2])
+        cur = binomial_blur5(cur)[..., ::2, ::2]
+        levels.append(cur)
     return levels
