@@ -31,7 +31,7 @@ from ..frontend.sift import SiftConfig, sift_detect_and_compute
 from ..geometry.epipolar import normalize_pixels, ransac_essential, recover_pose
 from ..geometry.scale import relative_scale_matched, relative_scale_unmatched
 from ..geometry.se3 import inv_se3, make_se3
-from ..geometry.triangulate import triangulate_fast
+from ..geometry.triangulate import triangulate_depths
 from ..ops.hamming import knn2_ratio_match, l2_table, match_descriptors
 from ..ops.lk import (
     LKCache,
@@ -136,10 +136,18 @@ def _pose_scale_chain(
     # feature_tracking.cpp:262-281) and estimate scale against the previous
     # frame-pair's cloud by compacted index pairing (SURVEY.md §3.2).
     # Closed-form two-view depths (TPU fast path) instead of the DLT's
-    # batched 4x4 eigendecomposition — the scale median is insensitive to
-    # the algebraic-vs-ray-distance difference.
-    X = triangulate_fast(R, t, p1n, p2n)
-    cur_valid = valid & jnp.all(jnp.isfinite(X), axis=1)
+    # batched 4x4 eigendecomposition. Unlike the reference, points failing
+    # cheirality or beyond 1e4 baselines are excluded from the scale
+    # median: near-parallel rays produce huge unstable depths that the
+    # DLT's normalization used to suppress (measured to cut synthetic ATE).
+    z1, z2 = triangulate_depths(R, t, p1n, p2n)
+    ones = jnp.ones_like(p1n[:, :1])
+    X = z1[:, None] * jnp.concatenate([p1n, ones], axis=1)
+    cur_valid = (
+        valid
+        & jnp.isfinite(z1) & jnp.isfinite(z2)
+        & (z1 > 0) & (z2 > 0) & (z1 < 1e4)
+    )
     if cfg.scale_mode == "matched":
         s = relative_scale_matched(prev3d, X, prev3d_valid & cur_valid)
     else:
@@ -237,33 +245,39 @@ class TrackingVO:
         self.cfg = config
         self.K = jnp.asarray(K, jnp.float32)
         self.capacity = _feature_capacity(config)
-        self._init_jit = jax.jit(
-            functools.partial(_tracking_init, cfg=config), static_argnames=()
+        # detect is its own (shared) program: fusing the 8-level ORB into
+        # the step blew up remote-compiler memory, and it is only needed
+        # at init/refresh anyway
+        self._detect_jit = jax.jit(
+            functools.partial(detect_and_describe, cfg=config)
         )
+        self._init_jit = jax.jit(functools.partial(_tracking_init, cfg=config))
         self._track_jit = jax.jit(functools.partial(_track_step, cfg=config))
         self._refresh_jit = jax.jit(
-            functools.partial(_refresh_step, cfg=config)
+            functools.partial(_refresh_core, cfg=config)
         )
         self._gate = _AsyncScalarGate(config.min_tracked, config.fallback_gate)
 
     def init(self, img0: np.ndarray, seed: int = 0) -> TrackingState:
         self._gate.reset()
-        return self._init_jit(
-            jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
-        )
+        img0 = jnp.asarray(img0, jnp.float32)
+        feats = self._detect_jit(img0)
+        return self._init_jit(feats, img0, jax.random.PRNGKey(seed))
 
     def step(self, state: TrackingState, img: np.ndarray):
         img = jnp.asarray(img, jnp.float32)
         if self._gate.update():
-            state, out = self._refresh_jit(state, img, self.K)
+            f1 = self._detect_jit(state.pyramid[0])
+            f2 = self._detect_jit(img)
+            state, out = self._refresh_jit(state, img, f1, f2, self.K)
         else:
             state, out = self._track_jit(state, img, self.K)
         self._gate.push(out.n_assoc)
         return state, out
 
 
-def _tracking_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
-    pts, _, feats_valid = detect_and_describe(img0, cfg)
+def _tracking_init(feats, img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
+    pts, _, feats_valid = feats
     K_cap = pts.shape[0]
     pyr = lk_build_pyramid(img0, cfg.lk)
     return TrackingState(
@@ -320,20 +334,30 @@ def _track_step(
     )
 
 
-def _refresh_step(
-    state: TrackingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+def _refresh_core(
+    state: TrackingState, img: jnp.ndarray, feats1, feats2,
+    K: jnp.ndarray, cfg: VOConfig
 ):
     """Re-detect on both frames + knn matching in the detector's metric
-    (feature_tracking.cpp:195-220); replaces tracking for this pair."""
+    (feature_tracking.cpp:195-220); replaces tracking for this pair.
+    Detection runs in the shared detect program; this program matches and
+    finishes the step."""
     pyr2 = lk_build_pyramid(img, cfg.lk)
-    p1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
-    p2, d2, v2 = detect_and_describe(img, cfg)
+    p1, d1, v1 = feats1
+    p2, d2, v2 = feats2
     m = match_features(d1, d2, v1, v2, cfg)
     pts2 = p2[m.idx]
     cache2 = lk_make_cache(pyr2, pts2, cfg.lk)
     return _finish_tracking_step(
         state, pyr2, cache2, p1, pts2, m.valid, K, cfg, fallback=True
     )
+
+
+def _refresh_step(state, img, K, cfg: VOConfig):
+    """Fused single-program refresh (compat / CPU tests)."""
+    f1 = detect_and_describe(state.pyramid[0], cfg)
+    f2 = detect_and_describe(img, cfg)
+    return _refresh_core(state, img, f1, f2, K, cfg)
 
 
 # Backwards-compatible alias for the fused single-program form (still used
@@ -355,26 +379,35 @@ class MatchingState(NamedTuple):
 
 
 class MatchingVO:
-    """vo_matching-equivalent pipeline (detect + knn-match every frame)."""
+    """vo_matching-equivalent pipeline (detect + knn-match every frame).
+
+    Two programs per step — the shared detect program and a small
+    match+geometry program — rather than one fused step: the fused form
+    (8-level ORB inlined) produced compile-time blowups on the remote TPU
+    compiler, and the split detect program is shared with the tracking
+    pipelines' refresh path."""
 
     def __init__(self, K: np.ndarray, config: VOConfig = VOConfig()):
         self.cfg = config
         self.K = jnp.asarray(K, jnp.float32)
         self.capacity = _feature_capacity(config)
+        self._detect_jit = jax.jit(
+            functools.partial(detect_and_describe, cfg=config)
+        )
         self._init_jit = jax.jit(functools.partial(_matching_init, cfg=config))
-        self._step_jit = jax.jit(functools.partial(_matching_step, cfg=config))
+        self._core_jit = jax.jit(functools.partial(_matching_core, cfg=config))
 
     def init(self, img0: np.ndarray, seed: int = 0) -> MatchingState:
-        return self._init_jit(
-            jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
-        )
+        feats = self._detect_jit(jnp.asarray(img0, jnp.float32))
+        return self._init_jit(feats, jax.random.PRNGKey(seed))
 
     def step(self, state: MatchingState, img: np.ndarray):
-        return self._step_jit(state, jnp.asarray(img, jnp.float32), self.K)
+        feats = self._detect_jit(jnp.asarray(img, jnp.float32))
+        return self._core_jit(state, feats, self.K)
 
 
-def _matching_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
-    pts, desc, valid = detect_and_describe(img0, cfg)
+def _matching_init(feats, key: jax.Array, cfg: VOConfig):
+    pts, desc, valid = feats
     K_cap = pts.shape[0]
     return MatchingState(
         pts=pts, desc=desc, valid=valid,
@@ -385,10 +418,10 @@ def _matching_init(img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
     )
 
 
-def _matching_step(
-    state: MatchingState, img: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+def _matching_core(
+    state: MatchingState, feats, K: jnp.ndarray, cfg: VOConfig
 ):
-    pts2_all, desc2, valid2 = detect_and_describe(img, cfg)
+    pts2_all, desc2, valid2 = feats
     m = match_features(state.desc, desc2, state.valid, valid2, cfg)
     pts1 = state.pts
     pts2 = pts2_all[m.idx]
@@ -411,6 +444,11 @@ def _matching_step(
         fallback=jnp.asarray(False),
     )
     return new_state, out
+
+
+# backwards-compatible fused form (tests/tools may reference it)
+def _matching_step(state, img, K, cfg: VOConfig):
+    return _matching_core(state, detect_and_describe(img, cfg), K, cfg)
 
 
 # ---------------------------------------------------------------- driver

@@ -51,20 +51,23 @@ class ThreeFrameVO:
         self.cfg = config._replace(scale_mode="matched")
         self.K = jnp.asarray(K, jnp.float32)
         self.capacity = _feature_capacity(config)
+        self._detect_jit = jax.jit(
+            functools.partial(detect_and_describe, cfg=self.cfg)
+        )
         self._init_jit = jax.jit(functools.partial(_tf_init, cfg=self.cfg))
-        self._step_jit = jax.jit(functools.partial(_tf_step, cfg=self.cfg))
+        self._core_jit = jax.jit(functools.partial(_tf_core, cfg=self.cfg))
 
     def init(self, img0: np.ndarray, seed: int = 0) -> ThreeFrameState:
-        return self._init_jit(
-            jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
-        )
+        feats = self._detect_jit(jnp.asarray(img0, jnp.float32))
+        return self._init_jit(feats, jax.random.PRNGKey(seed))
 
     def step(self, state: ThreeFrameState, img: np.ndarray):
-        return self._step_jit(state, jnp.asarray(img, jnp.float32), self.K)
+        feats = self._detect_jit(jnp.asarray(img, jnp.float32))
+        return self._core_jit(state, feats, self.K)
 
 
-def _tf_init(img0, key, cfg: VOConfig):
-    pts, desc, valid = detect_and_describe(img0, cfg)
+def _tf_init(feats, key, cfg: VOConfig):
+    pts, desc, valid = feats
     Kcap = pts.shape[0]
     return ThreeFrameState(
         pts_a=pts,
@@ -83,8 +86,8 @@ def _tf_init(img0, key, cfg: VOConfig):
     )
 
 
-def _tf_step(state: ThreeFrameState, img, K, cfg: VOConfig):
-    pts_c, desc_c, valid_c = detect_and_describe(img, cfg)
+def _tf_core(state: ThreeFrameState, feats, K, cfg: VOConfig):
+    pts_c, desc_c, valid_c = feats
     m_bc = match_features(state.desc_b, desc_c, state.valid_b, valid_c, cfg)
 
     # Triplets over a-slots: a -> b (cached) -> c (fresh); the gather-based
@@ -153,3 +156,8 @@ def _tf_step(state: ThreeFrameState, img, K, cfg: VOConfig):
         fallback=jnp.asarray(False),
     )
     return new_state, out
+
+
+def _tf_step(state, img, K, cfg: VOConfig):
+    """Fused single-program form (compat / CPU tests)."""
+    return _tf_core(state, detect_and_describe(img, cfg), K, cfg)

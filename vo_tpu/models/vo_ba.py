@@ -88,6 +88,9 @@ class TrackingBAVO:
         self.wcfg = window
         self.K = jnp.asarray(K, jnp.float32)
         self.capacity = _feature_capacity(config)
+        self._detect_jit = jax.jit(
+            functools.partial(detect_and_describe, cfg=config)
+        )
         self._init_jit = jax.jit(
             functools.partial(_ba_init, cfg=config, wcfg=window)
         )
@@ -111,9 +114,9 @@ class TrackingBAVO:
         self._gate.reset()
         self._frame_idx = 0
         self._win_fill = 1  # init pushes frame 0
-        return self._init_jit(
-            jnp.asarray(img0, jnp.float32), jax.random.PRNGKey(seed)
-        )
+        img0 = jnp.asarray(img0, jnp.float32)
+        feats = self._detect_jit(img0)
+        return self._init_jit(feats, img0, jax.random.PRNGKey(seed))
 
     def step(self, state: TrackingBAState, img: np.ndarray):
         refresh = self._gate.update()
@@ -125,15 +128,21 @@ class TrackingBAVO:
             self._frame_idx % self.wcfg.ba_every == 0
             and self._win_fill >= self.wcfg.window_size
         )
+        img = jnp.asarray(img, jnp.float32)
+        feats = (
+            (self._detect_jit(state.pyramid[0]), self._detect_jit(img))
+            if refresh
+            else None
+        )
         state, out = self._step_jits[(refresh, do_ba)](
-            state, jnp.asarray(img, jnp.float32), self.K
+            state, img, self.K, feats=feats
         )
         self._gate.push(out.frame.n_assoc)
         return state, out
 
 
-def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
-    pts, _, feats_valid = detect_and_describe(img0, cfg)
+def _ba_init(feats, img0, key, cfg: VOConfig, wcfg: WindowConfig):
+    pts, _, feats_valid = feats
     Kcap = pts.shape[0]
     pyr = lk_build_pyramid(img0, cfg.lk)
     win = window_init(wcfg.window_size, Kcap)
@@ -154,14 +163,14 @@ def _ba_init(img0, key, cfg: VOConfig, wcfg: WindowConfig):
 
 def _ba_step(
     state: TrackingBAState, img, K, cfg: VOConfig, wcfg: WindowConfig,
-    refresh: bool = False, do_ba: bool = False,
+    feats=None, refresh: bool = False, do_ba: bool = False,
 ):
     pyr2 = lk_build_pyramid(img, cfg.lk)
     if refresh:
         # re-detect + match (feature_tracking.cpp:195-220); slot identity
-        # breaks, so the window resets below
-        pts1, d1, v1 = detect_and_describe(state.pyramid[0], cfg)
-        p2, d2, v2 = detect_and_describe(img, cfg)
+        # breaks, so the window resets below. Detection ran in the shared
+        # detect program (feats); fusing it here blew up compile memory.
+        (pts1, d1, v1), (p2, d2, v2) = feats
         m = match_features(d1, d2, v1, v2, cfg)
         pts2, valid = p2[m.idx], m.valid
         cache2 = lk_make_cache(pyr2, pts2, cfg.lk)

@@ -21,7 +21,16 @@ import numpy as np
 def save_state(state, filename: str, frame_idx: int | None = None) -> None:
     """Serialize any pipeline-state pytree to one .npz file."""
     leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+
+    def to_np(l):
+        a = np.asarray(l)
+        # npz can't store ml_dtypes (bfloat16 etc.); widen losslessly —
+        # load_state casts back to the reference leaf's dtype
+        if a.dtype.kind not in "biufc?":
+            a = a.astype(np.float32)
+        return a
+
+    arrays = {f"leaf_{i}": to_np(l) for i, l in enumerate(leaves)}
     meta = {
         "treedef": str(treedef),
         "n_leaves": len(leaves),
