@@ -1,24 +1,23 @@
-"""Benchmark: best ATE-parity VO configuration, frames/s on one chip.
+"""Benchmark: flagship tracking VO, frames/s on one chip.
 
 Prints ONE JSON line:
-  {"metric": "matching_orb_fps", "value": N, "unit": "frames/s",
+  {"metric": "tracking_orb_fps", "value": N, "unit": "frames/s",
    "vs_baseline": N}
 
-Headline config: matching_orb (ORB-3000 detect+describe every frame, exact
-Hamming knn(2) + ratio 0.8, 5-point RANSAC, triangulation scale) — the
-reference's matching_orb runs at 19.0 fps CPU (README.md:17,
-results/timing.txt:2; see BASELINE.md). On TPU the reference's
-tracking>matching speed ranking INVERTS: dense detection + MXU matching is
-~0.1 ms/frame while sparse per-point LK windows cost ~34 ms — so the
-matching pipeline is both the accuracy-parity config AND the fastest.
+Config: tracking_orb (ORB-3000 detect at init, pyramidal LK tracking,
+5-point RANSAC, triangulation scale) — the reference's fastest complete
+pipeline, 72.1 fps CPU (README.md:43, results/timing.txt:5; BASELINE.md).
 
 Measurement notes (see vo_tpu/utils/profiling.py):
 - frames are pre-staged in HBM (the axon tunnel's 40 MB/s H2D would
   otherwise measure the tunnel, not the chip);
 - every step gets a DISTINCT frame (column-rolled variants of the two
-  KITTI frames shipped with the reference) — the runtime caches results
-  of repeated identical dispatches, which would inflate fps;
-- the loop only dispatches; one block at the end.
+  KITTI frames shipped with the reference) — the runtime caches repeated
+  identical dispatches;
+- timing ends with a VALUE FETCH of the final pose: on this runtime
+  jax.block_until_ready can return before execution completes, so
+  dispatch-only or block-only loops can overreport by orders of
+  magnitude. Only data-forced timing is trusted.
 """
 
 import json
@@ -28,7 +27,7 @@ import time
 import numpy as np
 
 
-BASELINE_FPS = 19.0  # matching_orb, results/timing.txt:2
+BASELINE_FPS = 72.1  # tracking_orb, results/timing.txt:5
 N_WARMUP = 2
 N_FRAMES = 200
 
@@ -64,7 +63,7 @@ def main():
     K = np.array(
         [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
     )
-    vo = get_preset("matching_orb").build(K)
+    vo = get_preset("tracking_orb").build(K)
 
     state = vo.init(frames[0])
     for i in range(N_WARMUP):
@@ -74,14 +73,14 @@ def main():
     t0 = time.perf_counter()
     for i in range(N_FRAMES):
         state, out = vo.step(state, frames[2 + i])
-    jax.block_until_ready(out.pose)
+    np.asarray(out.pose)  # value fetch = the only reliable sync
     dt = time.perf_counter() - t0
 
     fps = N_FRAMES / dt
     print(
         json.dumps(
             {
-                "metric": "matching_orb_fps",
+                "metric": "tracking_orb_fps",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
