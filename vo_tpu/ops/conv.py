@@ -64,6 +64,36 @@ def reflect_pad(img: jnp.ndarray, ry: int, rx: int | None = None) -> jnp.ndarray
     return jnp.pad(img, pad, mode="reflect")
 
 
+_SHIFT_ADD_MAX_TAPS = 128  # largest kernel expanded as shifted adds
+
+
+def _conv2d_valid_shift_add(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Valid correlation as a static sum of shifted slices.
+
+    TPU: single-channel image convs through lax.conv_general_dilated run
+    ~50x off roofline (the MXU contraction is only kh*kw*C=1 deep);
+    kh*kw shifted multiply-adds fuse into one VPU pass instead —
+    measured 48 ms -> ~2 ms for the Harris structure-tensor blurs."""
+    kh, kw = kernel.shape
+    H, W = img.shape[-2], img.shape[-1]
+    Ho, Wo = H - kh + 1, W - kw + 1
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            t = float(kernel[i, j])
+            if t == 0.0:
+                continue
+            sl = lax.slice_in_dim(
+                lax.slice_in_dim(img, i, i + Ho, axis=img.ndim - 2),
+                j, j + Wo, axis=img.ndim - 1,
+            )
+            term = sl * img.dtype.type(t)
+            out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros(img.shape[:-2] + (Ho, Wo), img.dtype)
+    return out
+
+
 def conv2d_valid(img: jnp.ndarray, kernel) -> jnp.ndarray:
     """Valid cross-correlation of (..., H, W) with a (kh, kw) kernel.
 
@@ -71,7 +101,15 @@ def conv2d_valid(img: jnp.ndarray, kernel) -> jnp.ndarray:
     out H = H - kh + 1. NOTE: like the reference's kernels, this is
     correlation (no kernel flip) — all our kernels are symmetric or used
     consistently, so the distinction never matters for parity.
+
+    Static (host-side) kernels up to _SHIFT_ADD_MAX_TAPS taps lower as
+    fused shifted adds (see _conv2d_valid_shift_add); larger or traced
+    kernels fall back to lax.conv_general_dilated.
     """
+    if not isinstance(kernel, jax.core.Tracer):
+        k_np = np.asarray(kernel, np.float64)
+        if k_np.size <= _SHIFT_ADD_MAX_TAPS:
+            return _conv2d_valid_shift_add(img, k_np)
     kernel = jnp.asarray(kernel, img.dtype)
     batch_shape = img.shape[:-2]
     x = img.reshape((-1, 1) + img.shape[-2:])
