@@ -167,21 +167,38 @@ def _grad_maps(g: jnp.ndarray):
 
 def _sample_grad(gx, gy, ls, ys, xs):
     """Bilinear gradient samples from per-layer maps at float positions;
-    nearest in layer. gx/gy: (L, H, W); ls int (N, S); ys/xs float (N, S)."""
-    L = gx.shape[0]
+    nearest in layer. gx/gy: (L, H, W); ls int (N, S); ys/xs float (N, S).
 
-    def one_layer(l):
-        return _bilinear(gx[l], ys, xs), _bilinear(gy[l], ys, xs)
+    One gather per corner over the layer-flattened (L*H, W) maps — the
+    earlier loop-over-layers-and-mask form did L x the gather work and
+    dominated SIFT's runtime."""
+    L, H, W = gx.shape
+    gxf = gx.reshape(L * H, W)
+    gyf = gy.reshape(L * H, W)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    off = jnp.clip(ls, 0, L - 1) * H
+    r0, r1 = off + y0, off + y1
 
-    # ls is small-range (1..n_layers): select via switch-free weighted sum.
-    outx = jnp.zeros_like(ys)
-    outy = jnp.zeros_like(ys)
-    for l in range(L):
-        m = (ls == l).astype(ys.dtype)
-        sx, sy = one_layer(l)
-        outx = outx + m * sx
-        outy = outy + m * sy
-    return outx, outy
+    def bil(f):
+        v00 = f[r0, x0]
+        v01 = f[r0, x1]
+        v10 = f[r1, x0]
+        v11 = f[r1, x1]
+        return (
+            v00 * (1 - wy) * (1 - wx)
+            + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx)
+            + v11 * wy * wx
+        )
+
+    return bil(gxf), bil(gyf)
 
 
 def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
