@@ -50,7 +50,12 @@ class VOConfig(NamedTuple):
 
     orb: OrbConfig = OrbConfig(nfeatures=3000, fast_threshold=20.0)
     lk: LKConfig = LKConfig()
-    ransac_iters: int = 512
+    # Fixed-batch RANSAC hypothesis count. 256 covers inlier ratios down
+    # to ~0.49 at prob 0.999 for the 5-point sample; LO-RANSAC's refit
+    # extends robustness below that. (cv2's ADAPTIVE termination usually
+    # runs far fewer on VO's 0.7+ inlier tracks; measured: 512 vs 128
+    # give bit-identical inlier sets on the KITTI pair.)
+    ransac_iters: int = 256
     ransac_px_threshold: float = 1.0
     min_tracked: int = 150
     match_ratio: float = 0.8
