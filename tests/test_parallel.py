@@ -143,3 +143,24 @@ class TestBatchedFrontend:
         frames = jnp.asarray(rng.uniform(0, 255, (2, 64, 96)), jnp.float32)
         feats = batched_orb(mesh, cfg)(frames)
         assert feats.xs.shape[0] == 2
+
+
+class TestWatchdog:
+    def test_fires_on_timeout_and_not_on_fast_steps(self):
+        import time as _time
+
+        from vo_tpu.parallel.watchdog import StepWatchdog
+
+        events = []
+        wd = StepWatchdog(
+            timeout_s=0.05, on_timeout=lambda tag, dt: events.append(tag)
+        )
+        with wd.watch("fast"):
+            pass
+        _time.sleep(0.1)
+        assert events == []
+
+        with wd.watch("slow"):
+            _time.sleep(0.15)
+        assert events == ["slow"]
+        assert wd.fired == ["slow"]

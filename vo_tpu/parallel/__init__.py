@@ -8,6 +8,7 @@ from .frontend import batched_orb, batched_pair_match
 from .matching import pad_to_multiple, sharded_match_descriptors
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading
 from .spatial import sharded_fast_score, sharded_gaussian_blur, sharded_stencil
+from .watchdog import StepWatchdog
 
 __all__ = [
     "sharded_bundle_adjust",
@@ -22,4 +23,5 @@ __all__ = [
     "sharded_fast_score",
     "sharded_gaussian_blur",
     "sharded_stencil",
+    "StepWatchdog",
 ]
