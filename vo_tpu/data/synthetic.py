@@ -133,8 +133,31 @@ class SyntheticSequence:
         H, W = shape
         f = 0.9 * W
         K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
-        pts, con = make_world(n_points=n_points, seed=seed)
         poses = make_trajectory(n_frames=n_frames, speed=speed, seed=seed + 1)
+        pts, con = make_world(n_points=n_points, seed=seed)
+        if n_frames > 60:
+            # Long sequences would drive out of the fixed landmark box:
+            # scatter extra landmarks along the trajectory corridor so
+            # every frame sees structure (density matched to the base
+            # world's ~75-landmark/frame visibility).
+            rng = np.random.default_rng(seed + 2)
+            n_extra = max(n_points, 8 * n_frames)
+            t = rng.integers(0, n_frames, n_extra)
+            anchor = poses[t, :3, 3]
+            fwd = poses[t, :3, 2]  # camera forward (world frame)
+            right = poses[t, :3, 0]
+            up = poses[t, :3, 1]
+            offs = (
+                fwd * rng.uniform(2.0, 220.0, n_extra)[:, None]
+                + right * rng.uniform(-60.0, 60.0, n_extra)[:, None]
+                + up * rng.uniform(-8.0, 4.0, n_extra)[:, None]
+            )
+            extra = anchor + offs
+            con_extra = rng.uniform(40.0, 90.0, n_extra) * rng.choice(
+                [-1.0, 1.0], n_extra
+            )
+            pts = np.concatenate([pts, extra], axis=0)
+            con = np.concatenate([con, con_extra])
         return cls(poses=poses, K=K, shape=shape, points_w=pts, contrast=con)
 
     def __len__(self) -> int:
