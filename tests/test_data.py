@@ -49,3 +49,16 @@ def test_render_is_deterministic():
     a = render_frame(seq.points_w, seq.contrast, seq.poses[0], seq.K, seq.shape)
     b = render_frame(seq.points_w, seq.contrast, seq.poses[0], seq.K, seq.shape)
     assert np.array_equal(a, b)
+
+
+def test_long_sequence_keeps_landmarks_visible():
+    """Corridor scattering: every frame of a long sequence must render
+    enough structure to track (a fixed landmark box starves after the
+    camera drives past it)."""
+    from vo_tpu.data.synthetic import SyntheticSequence
+
+    seq = SyntheticSequence.generate(n_frames=200, shape=(120, 160), seed=3)
+    for i in (0, 60, 120, 199):
+        img = seq.frame(i)
+        # structured frames deviate from the flat background
+        assert float(np.abs(img - 128.0).mean()) > 1.0, i
