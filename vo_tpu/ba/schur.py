@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..geometry.linalg3 import inv3x3
 from ..geometry.se3 import exp_so3
 
 
@@ -194,7 +195,9 @@ def bundle_adjust(
         # well-posed; their gp is zero so their update is zero.
         pm = point_mask[:, None, None]
         Vd = jnp.where(pm, V + lam * eye3, eye3)
-        Vinv = jnp.linalg.inv(Vd)  # (L,3,3) batched — local to shard
+        # closed-form batched inverse: jnp.linalg.inv lowers to a slow
+        # serialized custom call for thousands of 3x3 blocks
+        Vinv = inv3x3(Vd)  # (L,3,3) — local to shard
         Y = jnp.einsum("wlij,ljk->wlik", Wm, Vinv)  # (W,L,6,3)
 
         # Reduced camera system S (W,W,6,6), rhs (W,6): landmark sums are

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..geometry.linalg3 import solve3x3
 from ..ops.lk import _bilinear
 from ..ops.scalespace import build_scale_space, n_octaves_for
 
@@ -137,7 +138,7 @@ def _refine(dog: jnp.ndarray, ls, ys, xs):
     grad = jnp.stack([dx_, dy_, ds_], -1)  # (N, 3)
     # Regularize singular Hessians; those points fail the offset gate.
     Hm = Hm + 1e-6 * jnp.eye(3, dtype=dog.dtype)
-    off = -jnp.linalg.solve(Hm, grad[..., None])[..., 0]
+    off = -solve3x3(Hm, grad, eps=1e-18)
     converged = jnp.all(jnp.abs(off) < 1.0, axis=-1)
     off = jnp.clip(off, -0.5, 0.5)
     contr = v + 0.5 * jnp.sum(grad * off, axis=-1)
