@@ -164,3 +164,49 @@ class TestWatchdog:
             _time.sleep(0.15)
         assert events == ["slow"]
         assert wd.fired == ["slow"]
+
+
+class TestShardedLK:
+    def test_matches_dense_tracker(self, mesh8, rng):
+        """Keypoint-sharded LK == dense LK, bitwise (same per-point code)."""
+        from vo_tpu.ops.lk import (
+            LKConfig,
+            lk_make_cache,
+            lk_pyramid_track_cached,
+        )
+        from vo_tpu.ops.pyramid import build_halving_pyramid
+        from vo_tpu.parallel.tracking import (
+            sharded_lk_make_cache,
+            sharded_lk_track,
+        )
+        from vo_tpu.parallel.mesh import make_mesh
+
+        cfg = LKConfig(win=9, max_level=1, iters=10, window_margin=4,
+                       coarse_margin=6)
+        H, W, N = 64, 96, 32  # N divisible by 8
+        img1 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+        img2 = jnp.roll(img1, 2, axis=1) + 0.5
+        pyr1 = tuple(build_halving_pyramid(img1, cfg.max_level + 1,
+                                           dtype=jnp.bfloat16))
+        pyr2 = tuple(build_halving_pyramid(img2, cfg.max_level + 1,
+                                           dtype=jnp.bfloat16))
+        pts = jnp.asarray(
+            np.stack([rng.uniform(15, W - 15, N), rng.uniform(15, H - 15, N)], 1),
+            jnp.float32,
+        )
+        valid = jnp.asarray(rng.random(N) > 0.2)
+
+        cache_d = lk_make_cache(pyr1, pts, cfg)
+        out_d, st_d, cache2_d = lk_pyramid_track_cached(
+            cache_d, pyr2, pts, valid, cfg
+        )
+
+        mesh = make_mesh(8, axis="kp")
+        cache_s = sharded_lk_make_cache(mesh, pyr1, pts, cfg)
+        out_s, st_s, cache2_s = sharded_lk_track(
+            mesh, cache_s, pyr2, pts, valid, cfg
+        )
+        np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+        np.testing.assert_array_equal(np.asarray(st_d), np.asarray(st_s))
+        for a, b in zip(cache2_d.wins, cache2_s.wins):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
