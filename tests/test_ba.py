@@ -240,3 +240,39 @@ class TestBAPipeline:
         assert np.isfinite(ate)
         assert ate < 0.25 * path_len, (ate, path_len)
         assert any(s.get("ba_ran") for s in stats[1:])
+
+
+def test_analytic_jacobians_match_autodiff():
+    """The hand-derived (R, dR) chain-rule Jacobians must equal jacfwd of
+    the scalar residual."""
+    import jax
+
+    from vo_tpu.ba.schur import _res_and_jac, _residual
+
+    rng = np.random.default_rng(11)
+    W, L = 3, 7
+    poses = jnp.asarray(rng.normal(0, 0.3, (W, 6)), jnp.float32)
+    points = jnp.asarray(
+        np.stack([rng.uniform(-5, 5, L), rng.uniform(-5, 5, L),
+                  rng.uniform(5, 20, L)], 1), jnp.float32)
+    obs = jnp.asarray(rng.uniform(0, 300, (W, L, 2)), jnp.float32)
+    K = jnp.asarray([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]],
+                    jnp.float32)
+
+    r, Jc, Jp = _res_and_jac(poses, points, obs, K)
+
+    def rj(pose6, X, ob):
+        return (
+            _residual(pose6, X, ob, K),
+            jax.jacfwd(_residual, 0)(pose6, X, ob, K),
+            jax.jacfwd(_residual, 1)(pose6, X, ob, K),
+        )
+
+    ref = jax.vmap(jax.vmap(rj, (None, 0, 0)), (0, None, 0))(
+        poses, points, obs
+    )
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(ref[1]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(ref[2]),
+                               rtol=1e-3, atol=1e-3)

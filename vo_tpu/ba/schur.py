@@ -78,17 +78,42 @@ def _residual(pose6, X, obs, K):
 def _res_and_jac(poses, points, obs, K):
     """Residuals + Jacobians over the dense (W, L) grid.
 
-    Returns r (W,L,2), Jc (W,L,2,6), Jp (W,L,2,3)."""
+    Returns r (W,L,2), Jc (W,L,2,6), Jp (W,L,2,3).
 
-    def rj(pose6, X, ob):
-        r = _residual(pose6, X, ob, K)
-        jc = jax.jacfwd(_residual, argnums=0)(pose6, X, ob, K)
-        jp = jax.jacfwd(_residual, argnums=1)(pose6, X, ob, K)
-        return r, jc, jp
+    Analytic: a vmapped jacfwd of the scalar residual re-derives the
+    Rodrigues map (sin/cos/norm dual numbers) for every (pose, landmark)
+    PAIR — measured 12 ms per LM iteration. Here R and dR/d(aa) are
+    computed once per POSE and the per-observation chain rule is three
+    dense einsums."""
+    aa = poses[:, :3]
+    t = poses[:, 3:]
+    R = jax.vmap(exp_so3)(aa)  # (W, 3, 3)
+    dR = jax.vmap(jax.jacfwd(exp_so3))(aa)  # (W, 3, 3, 3): dR[w,a,b,k]
 
-    over_l = jax.vmap(rj, in_axes=(None, 0, 0))
-    over_wl = jax.vmap(over_l, in_axes=(0, None, 0))
-    return over_wl(poses, points, obs)
+    p = jnp.einsum("wab,lb->wla", R, points) + t[:, None, :]  # (W, L, 3)
+    z = p[..., 2]
+    z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    fx, fy = K[0, 0], K[1, 1]
+    u = fx * p[..., 0] / z + K[0, 2]
+    v = fy * p[..., 1] / z + K[1, 2]
+    r = jnp.stack([u - obs[..., 0], v - obs[..., 1]], axis=-1)  # (W, L, 2)
+
+    # d(residual)/d(p): A (W, L, 2, 3)
+    zero = jnp.zeros_like(z)
+    inv_z = 1.0 / z
+    A = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * p[..., 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )
+
+    dp_daa = jnp.einsum("wabk,lb->wlak", dR, points)  # (W, L, 3, 3)
+    Jc_aa = jnp.einsum("wlra,wlak->wlrk", A, dp_daa)  # (W, L, 2, 3)
+    Jc = jnp.concatenate([Jc_aa, A], axis=-1)  # dp/dt = I -> A block
+    Jp = jnp.einsum("wlra,wab->wlrb", A, R)  # (W, L, 2, 3)
+    return r, Jc, Jp
 
 
 def _huber_sqrt_weight(r2, delta):
