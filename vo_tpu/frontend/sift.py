@@ -90,20 +90,26 @@ def _shift2(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 def _extrema_mask(dog: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """(L+2, H, W) DoG stack -> (L, H, W) bool: layers 1..L are 26-neighbor
-    extrema with |value| above the prefilter threshold."""
+    extrema with |value| above the prefilter threshold.
+
+    Two fused 3-D reduce_windows instead of 26 shifted-buffer compares
+    (~1 GB of traffic per octave at the 2x-upsampled resolution).
+    Plateau ties pass here (c == window max) where the shifted form
+    required strict dominance — degenerate plateau candidates are culled
+    by the Newton-step convergence and contrast gates anyway."""
+    pooled_max = lax.reduce_window(
+        dog, -jnp.inf, lax.max,
+        window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
+    pooled_min = lax.reduce_window(
+        dog, jnp.inf, lax.min,
+        window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
     c = dog[1:-1]
-    gt = jnp.ones_like(c, dtype=bool)
-    lt = jnp.ones_like(c, dtype=bool)
-    for dl in (-1, 0, 1):
-        sl = dog[1 + dl : dog.shape[0] - 1 + dl]
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dl == 0 and dy == 0 and dx == 0:
-                    continue
-                nb = _shift2(sl, dy, dx)
-                gt &= c > nb
-                lt &= c < nb
-    return (gt | lt) & (jnp.abs(c) > threshold)
+    is_ext = (c == pooled_max) | (c == pooled_min)
+    return is_ext & (jnp.abs(c) > threshold)
 
 
 def _gather3(dog: jnp.ndarray, ls, ys, xs, dl, dy, dx):
