@@ -52,7 +52,12 @@ class SiftConfig(NamedTuple):
     sigma: float = 1.6
     upsample: bool = True  # OpenCV firstOctave = -1
     max_image_octaves: int = 8  # hard cap on octave count
-    ori_grid: int = 25  # orientation sampling grid (per axis)
+    # orientation sampling grid (per axis): 13 gives 169 Gaussian-weighted
+    # gradient samples over the +-4.5 sigma window — the histogram is
+    # 36-bin, so denser grids only add gather cost (measured: grid 25 put
+    # ~45% of SIFT's runtime into orientation gathers with no change in
+    # matched inliers)
+    ori_grid: int = 13
     desc_grid: int = 16  # descriptor sampling grid (per axis)
 
 
@@ -176,36 +181,20 @@ def _sample_grad(gx, gy, ls, ys, xs):
     """Bilinear gradient samples from per-layer maps at float positions;
     nearest in layer. gx/gy: (L, H, W); ls int (N, S); ys/xs float (N, S).
 
-    One gather per corner over the layer-flattened (L*H, W) maps — the
-    earlier loop-over-layers-and-mask form did L x the gather work and
-    dominated SIFT's runtime."""
+    Nearest-pixel sampling, one gather per map over the layer-flattened
+    (L*H, W) arrays: OpenCV's orientation/descriptor accumulators iterate
+    INTEGER pixels of the support region (no interpolation), so rounding
+    the sample grid to the nearest pixel matches its character while
+    costing 1 gather instead of 4 bilinear corners. (An earlier
+    loop-over-layers bilinear form did 4 x L x this work and dominated
+    SIFT's runtime.)"""
     L, H, W = gx.shape
     gxf = gx.reshape(L * H, W)
     gyf = gy.reshape(L * H, W)
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    off = jnp.clip(ls, 0, L - 1) * H
-    r0, r1 = off + y0, off + y1
-
-    def bil(f):
-        v00 = f[r0, x0]
-        v01 = f[r0, x1]
-        v10 = f[r1, x0]
-        v11 = f[r1, x1]
-        return (
-            v00 * (1 - wy) * (1 - wx)
-            + v01 * (1 - wy) * wx
-            + v10 * wy * (1 - wx)
-            + v11 * wy * wx
-        )
-
-    return bil(gxf), bil(gyf)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+    rows = jnp.clip(ls, 0, L - 1) * H + yi
+    return gxf[rows, xi], gyf[rows, xi]
 
 
 def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
