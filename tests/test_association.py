@@ -56,6 +56,24 @@ def test_l2_table(rng):
     np.testing.assert_allclose(table, ref, atol=1e-4)
 
 
+def test_l2_ratio_is_euclidean(rng):
+    # l2_table is SQUARED distances; squared=True must gate on the
+    # Euclidean ratio (OpenCV FlannBasedMatcher semantics): best/second
+    # Euclidean = 0.85 > 0.8 should FAIL even though 0.85^2 = 0.7225 < 0.8.
+    q = np.zeros((1, 4), np.float32)
+    t = np.zeros((2, 4), np.float32)
+    t[0, 0] = 0.85  # best Euclidean dist 0.85
+    t[1, 0] = 1.0  # second best 1.0
+    table = l2_table(q, t)
+    ones = np.ones(1, bool), np.ones(2, bool)
+    m_sq = knn2_ratio_match(table, ones[0], ones[1], ratio=0.8, squared=True)
+    assert not bool(np.asarray(m_sq.valid)[0])
+    # ...and a true-ratio 0.75 pair should still pass.
+    t[0, 0] = 0.75
+    m_ok = knn2_ratio_match(l2_table(q, t), ones[0], ones[1], 0.8, squared=True)
+    assert bool(np.asarray(m_ok.valid)[0])
+
+
 def _textured_image(shape, rng, smooth=3):
     import cv2
 

@@ -90,7 +90,8 @@ def match_features(desc1, desc2, valid1, valid2, cfg: "VOConfig"):
     """knn2 + ratio matching in the detector's metric (Hamming / L2)."""
     if cfg.detector == "sift":
         return knn2_ratio_match(
-            l2_table(desc1, desc2), valid1, valid2, cfg.match_ratio
+            l2_table(desc1, desc2), valid1, valid2, cfg.match_ratio,
+            squared=True,
         )
     return match_descriptors(desc1, desc2, valid1, valid2, cfg.match_ratio)
 
@@ -496,10 +497,14 @@ def run_vo(seq, pipeline, verbose: bool = False):
         pose = np.asarray(out.pose)
         est_path.append(pose[[0, 2], 3])
         gt_path.append(gt_poses[i][[0, 2], 3])
+        # Reference scale.txt semantics (feature_tracking.cpp:79-101,
+        # :351-353): column 1 = |Δgt| over the full 3-D translation,
+        # column 2 = the estimator's own get_scale output for this frame
+        # (NOT a post-hoc est-path step length).
         gt_scale = float(
             np.linalg.norm(gt_poses[i][:3, 3] - gt_poses[i - 1][:3, 3])
         )
-        est_scale = float(np.linalg.norm(est_path[-1] - est_path[-2]))
+        est_scale = float(out.scale)
         scales.append((max(gt_scale, 1e-9), max(est_scale, 1e-9)))
         stats.append(
             {

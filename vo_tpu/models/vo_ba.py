@@ -270,7 +270,9 @@ def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False):
         gt_scale = float(
             np.linalg.norm(gt_poses[i][:3, 3] - gt_poses[i - 1][:3, 3])
         )
-        est_scale = float(np.linalg.norm(est_path[-1] - est_path[-2]))
+        # column 2 = the estimator's get_scale output for this frame, as
+        # the reference dumps (feature_tracking.cpp:79-101, :351-353).
+        est_scale = float(out.frame.scale)
         scales.append((max(gt_scale, 1e-9), max(est_scale, 1e-9)))
         stats.append(
             {

@@ -52,25 +52,32 @@ def hamming_table(bits1: jnp.ndarray, bits2: jnp.ndarray) -> jnp.ndarray:
     return s1[:, None] + s2[None, :] - 2 * dot
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("squared",))
 def knn2_ratio_match(
     table: jnp.ndarray,
     valid1: jnp.ndarray,
     valid2: jnp.ndarray,
     ratio: float = 0.8,
+    squared: bool = False,
 ) -> Matches:
-    """knn(k=2) + ratio test over a distance table with validity masks."""
+    """knn(k=2) + ratio test over a distance table with validity masks.
+
+    `squared=True` marks the table as holding SQUARED distances (the
+    l2_table path): the ratio is then applied as ratio**2 so the gate
+    matches OpenCV's FlannBasedMatcher, which ratio-tests true Euclidean
+    distances (flann's squared dists are sqrt'ed in convertToDMatches).
+    """
     d = jnp.where(valid2[None, :], table.astype(jnp.float32), BIG)
     idx1 = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
     # mask out the best column per row, find second best
-    n2 = d.shape[1]
     cols = lax.broadcasted_iota(jnp.int32, d.shape, 1)
     d2 = jnp.where(cols == idx1[:, None], BIG, d)
     second = jnp.min(d2, axis=1)
+    r = ratio * ratio if squared else ratio
     ok = (
         valid1
-        & (best < ratio * second)
+        & (best < r * second)
         & (best < BIG)
     )
     return Matches(idx=idx1.astype(jnp.int32), dist=best, valid=ok)

@@ -64,6 +64,11 @@ class LKConfig(NamedTuple):
     # motion at that scale (KITTI near-field: ~150 px at level 0 -> ~20 px
     # at level 3)
     coarse_margin: int = 24
+    # mesh axis the keypoint batch is sharded over (set by
+    # parallel.tracking): the early-exit convergence counts are psum'ed
+    # over it so sharded runs take the SAME iteration counts as dense ones
+    # (bitwise equality at any scale, not just <100 active points/shard)
+    axis_name: str | None = None
 
 
 class LKCache(NamedTuple):
@@ -265,14 +270,18 @@ def _refine_level(
     inv_det = 1.0 / jnp.where(det > 1e-7, det, 1.0)
     active0 = solvable & ~tmpl_out & ok
 
-    n_active0 = jnp.maximum(jnp.sum(active0), 1)
+    def _gsum(x):
+        # global count when the keypoint batch is sharded (see LKConfig)
+        return lax.psum(x, config.axis_name) if config.axis_name else x
+
+    n_active0 = jnp.maximum(_gsum(jnp.sum(active0)), 1)
 
     def cond(carry):
         # early exit once (almost) every active point converged or froze
         # — the slowest 1% are usually divergent tracks not worth gating
         # the whole batch on; data-dependent trip count, gather-free trips
         _, converged, it = carry
-        remaining = jnp.sum(active0 & ~converged)
+        remaining = _gsum(jnp.sum(active0 & ~converged))
         return (it < config.iters) & (remaining * 100 > n_active0)
 
     def body(carry):

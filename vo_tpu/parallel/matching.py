@@ -31,7 +31,9 @@ def _match_block(bits1, valid1, bits2, valid2, ratio, axis, binary):
         if binary
         else l2_table(bits1, bits2_full)
     )
-    return knn2_ratio_match(table, valid1, valid2_full, ratio)
+    # l2_table holds squared distances; squared=True keeps the configured
+    # ratio in true-Euclidean units (OpenCV FlannBasedMatcher semantics).
+    return knn2_ratio_match(table, valid1, valid2_full, ratio, squared=not binary)
 
 
 def sharded_match_descriptors(

@@ -56,8 +56,10 @@ def sharded_lk_track(
     kp = P(axis)
     rep = P()
     cache_spec = _cache_specs_for(len(cache.wins), axis)
+    # psum'ed early-exit counts keep sharded iteration schedules identical
+    # to the dense tracker's (ops/lk.py LKConfig.axis_name)
     fn = shard_map(
-        functools.partial(_track_block, config=config),
+        functools.partial(_track_block, config=config._replace(axis_name=axis)),
         mesh=mesh,
         in_specs=(cache_spec, tuple(rep for _ in pyr2), kp, kp),
         out_specs=(kp, kp, cache_spec),

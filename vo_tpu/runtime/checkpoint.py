@@ -70,56 +70,117 @@ def load_state(state_like, filename: str):
 
 
 class CheckpointingRunner:
-    """run_vo-style host loop with periodic checkpoints and resume.
+    """run_vo / run_vo_ba-style host loop with periodic checkpoints and resume.
 
     Usage:
         runner = CheckpointingRunner(pipeline, "ckpt.npz", every=50)
         est, gt, scales, stats = runner.run(seq)   # resumes if ckpt exists
-    Only the pipeline state and cursor are checkpointed; the per-frame
-    logs before the resume point are re-derived from the checkpointed
-    aggregates (paths up to the cursor are stored alongside)."""
+
+    Checkpointed: the device state pytree, the frame cursor, the host-side
+    pipeline counters (BA frame index / window fill / fallback-gate state),
+    and the per-frame logs so far (est path + scale pairs) — so a resumed
+    run reproduces an uninterrupted one: BA cadence, fallback behavior, and
+    the window-pose est-path rewrites are all preserved. The side file is
+    written atomically BEFORE the state file; on a crash between the two
+    the side file is longer than the cursor and is truncated on resume."""
 
     def __init__(self, pipeline, ckpt_file: str, every: int = 100):
         self.pipeline = pipeline
         self.ckpt_file = ckpt_file
         self.every = max(1, every)
 
+    # -- host-side pipeline counters (TrackingBAVO / TrackingVO) ---------
+    def _capture_host(self) -> dict:
+        p, h = self.pipeline, {}
+        for name in ("_frame_idx", "_win_fill"):
+            if hasattr(p, name):
+                h[name] = int(getattr(p, name))
+        gate = getattr(p, "_gate", None)
+        if gate is not None:
+            # drain pending async scalars synchronously so gate state is
+            # fully host-resident at the checkpoint boundary
+            while gate._inbox:
+                idx, arr = gate._inbox.pop(0)
+                gate._last_val_idx, gate._last_val = idx, int(arr)
+            h["gate"] = {
+                "step": gate._step,
+                "last_trigger": gate._last_trigger,
+                "last_val_idx": gate._last_val_idx,
+                "last_val": gate._last_val,
+            }
+        return h
+
+    def _restore_host(self, h: dict) -> None:
+        p = self.pipeline
+        for name in ("_frame_idx", "_win_fill"):
+            if name in h and hasattr(p, name):
+                setattr(p, name, int(h[name]))
+        gate = getattr(p, "_gate", None)
+        if gate is not None and "gate" in h:
+            g = h["gate"]
+            gate._inbox.clear()
+            gate._step = int(g["step"])
+            gate._last_trigger = int(g["last_trigger"])
+            gate._last_val_idx = int(g["last_val_idx"])
+            gate._last_val = g["last_val"]
+
     def run(self, seq, verbose: bool = False):
         gt_poses = seq.poses
         start = 1
         state = self.pipeline.init(seq.frame(0))
         est_path = [np.asarray(_pose_of(state))[[0, 2], 3]]
+        scales, stats = [(1.0, 1.0)], [{}]
+        Wn = getattr(getattr(self.pipeline, "wcfg", None), "window_size", 0)
 
         side = self.ckpt_file + ".paths.npz"
         if os.path.exists(self.ckpt_file) and os.path.exists(side):
             state, cursor = load_state(state, self.ckpt_file)
-            with np.load(side) as z:
-                est_path = [row for row in z["est"]]
             start = int(cursor)
+            with np.load(side, allow_pickle=False) as z:
+                # truncate to the cursor: the side file may be one
+                # checkpoint period newer than the state file
+                est_path = [row for row in z["est"][:start]]
+                scales = [tuple(row) for row in z["scales"][:start]]
+                if "__host__" in z:
+                    self._restore_host(json.loads(str(z["__host__"])))
+            stats = [{}] + [{"resumed": True}] * (start - 1)
             if verbose:
                 print(f"resumed at frame {start}")
 
-        scales, stats = [(1.0, 1.0)], [{}]
+        def _save(i, st):
+            tmp = side + ".tmp.npz"
+            np.savez(
+                tmp,
+                est=np.asarray(est_path),
+                scales=np.asarray(scales),
+                __host__=json.dumps(self._capture_host()),
+            )
+            os.replace(tmp, side)
+            save_state(st, self.ckpt_file, frame_idx=i + 1)
+
         gt_path = [gt_poses[0][[0, 2], 3]]
         for i in range(1, len(seq)):
             if i < start:
                 gt_path.append(gt_poses[i][[0, 2], 3])
-                scales.append((1.0, 1.0))
-                stats.append({"resumed": True})
                 continue
             state, out = self.pipeline.step(state, seq.frame(i))
             pose = np.asarray(_pose_of_out(out))
             est_path.append(pose[[0, 2], 3])
+            # BA window rewrite (with_bundle_adjustment.cpp:237-247), as
+            # run_vo_ba does — a checkpointed BA run keeps its refinements.
+            if Wn and hasattr(out, "ba_ran") and bool(out.ba_ran):
+                wp = np.asarray(out.window_poses)
+                for j in range(Wn):
+                    est_path[i - Wn + 1 + j] = wp[j][[0, 2], 3]
             gt_path.append(gt_poses[i][[0, 2], 3])
             gt_s = float(
                 np.linalg.norm(gt_poses[i][:3, 3] - gt_poses[i - 1][:3, 3])
             )
-            est_s = float(np.linalg.norm(est_path[-1] - est_path[-2]))
+            est_s = float(_field(out, "scale", 1.0))
             scales.append((max(gt_s, 1e-9), max(est_s, 1e-9)))
             stats.append({"n_assoc": int(_field(out, "n_assoc", 0))})
             if i % self.every == 0:
-                save_state(state, self.ckpt_file, frame_idx=i + 1)
-                np.savez(side, est=np.asarray(est_path))
+                _save(i, state)
         return (
             np.asarray(est_path),
             np.asarray(gt_path),

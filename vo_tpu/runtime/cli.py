@@ -58,8 +58,8 @@ def main(argv=None) -> dict:
     ap.add_argument(
         "--checkpoint-every", type=int, default=0,
         help="checkpoint the pipeline state every N frames (resumes from "
-        "an existing checkpoint; BA window rewrites are not re-applied "
-        "to pre-resume frames)",
+        "an existing checkpoint; BA cadence, fallback gate, and window "
+        "rewrites carry across the resume)",
     )
     ap.add_argument("--checkpoint-file", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
