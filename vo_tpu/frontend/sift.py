@@ -9,16 +9,17 @@ arrays (like the ORB frontend):
 
 - DoG extrema: dense 26-neighbor max/min masks per octave (no scalar
   scanning), |response| top-k per octave to a static budget;
-- subpixel refinement: one 3x3 Newton step from gathered 3x3x3
-  neighborhoods with clamped offsets (OpenCV iterates up to 5 steps with
-  re-localization; single-step is the jit-friendly form — candidates whose
-  offset exceeds 1 are dropped, matching the spirit of the convergence
-  test), Lowe contrast + edge-ratio gates;
-- orientation: gradients bilinearly gathered on a fixed 25x25 grid scaled
-  by the keypoint's sigma, 36-bin histogram built with dense tent weights
+- subpixel refinement: iterated 3x3x3 Newton steps with integer
+  re-localization when any |offset| >= 0.5 (OpenCV adjustLocalExtrema,
+  up to 5 steps; we unroll _REFINE_STEPS with the same convergence
+  test |offset| < 0.5), Lowe contrast + edge-ratio gates;
+- orientation: gradients gathered on a fixed grid scaled by the
+  keypoint's sigma, 36-bin histogram built with dense tent weights
   (einsum — a matmul, not a scatter), circular [1,4,6,4,1] smoothing,
-  parabolic peak. Dominant peak only (OpenCV emits extra keypoints for
-  secondary peaks >= 0.8*max; we keep capacity static instead);
+  parabolic peak. Each candidate is emitted twice — dominant peak plus
+  the best secondary local max >= 0.8*max (cv::SIFT duplicates
+  keypoints per peak; the fixed capacity doubles per octave and the
+  global top-k trims);
 - descriptor: 16x16 rotated sample grid, gradients gathered from per-layer
   Sobel-style maps, trilinear (row, col, orientation) binning as a dense
   einsum over tent weights -> (4, 4, 8) = 128-D, normalize / clip 0.2 /
@@ -79,12 +80,17 @@ class SiftFeatures(NamedTuple):
 
 
 def octave_budgets(config: SiftConfig, n_oct: int) -> list[int]:
-    """Static per-octave candidate budgets, geometric like the ORB levels
-    (most SIFT keypoints live in the finest octaves)."""
-    inv = 0.5
-    factor = (1.0 - inv) / (1.0 - inv**n_oct)
+    """Static per-octave candidate budgets.
+
+    Measured on KITTI frame 000000 vs cv2.SIFT: surviving keypoints decay
+    ~3.2x per octave (2241/693/191/58/15 from the upsampled octave down),
+    so a 0.5-geometric split budget-starves the upsampled octave (48% of
+    its cv2 keypoints were missed at budget nfeatures/2). The 0.32
+    geometric with a full-nfeatures first octave covers the measured
+    distribution with ~1.3x headroom for gate kills."""
+    inv = 0.32
     return [
-        max(8, int(config.nfeatures * factor * inv**o)) for o in range(n_oct)
+        max(16, int(round(config.nfeatures * inv**o))) for o in range(n_oct)
     ]
 
 
@@ -121,11 +127,11 @@ def _gather3(dog: jnp.ndarray, ls, ys, xs, dl, dy, dx):
     return dog[ls + dl, ys + dy, xs + dx]
 
 
-def _refine(dog: jnp.ndarray, ls, ys, xs):
+def _refine_once(dog: jnp.ndarray, ls, ys, xs):
     """One Newton step on the 3x3x3 neighborhood of each candidate.
 
-    Returns (off (N,3) [dx,dy,ds] clamped, contr refined value, ok mask,
-    edge_ok)."""
+    Returns (off (N,3) [dx,dy,ds] UNclamped, grad, contr-at-offset parts,
+    tr, det)."""
     g = functools.partial(_gather3, dog, ls, ys, xs)
     v = g(0, 0, 0)
     dx_ = 0.5 * (g(0, 0, 1) - g(0, 0, -1))
@@ -150,13 +156,43 @@ def _refine(dog: jnp.ndarray, ls, ys, xs):
     # Regularize singular Hessians; those points fail the offset gate.
     Hm = Hm + 1e-6 * jnp.eye(3, dtype=dog.dtype)
     off = -solve3x3(Hm, grad, eps=1e-18)
-    converged = jnp.all(jnp.abs(off) < 1.0, axis=-1)
-    off = jnp.clip(off, -0.5, 0.5)
     contr = v + 0.5 * jnp.sum(grad * off, axis=-1)
 
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
-    return off, contr, converged, tr, det
+    return off, contr, tr, det
+
+
+_REFINE_STEPS = 4  # OpenCV SIFT_MAX_INTERP_STEPS = 5; 4 recovers ~all
+
+
+def _refine(dog: jnp.ndarray, ls, ys, xs, border: int):
+    """Iterative subpixel refinement (OpenCV adjustLocalExtrema semantics:
+    Newton step; while any |offset| > 0.5, re-localize to the rounded
+    neighboring sample and repeat, up to _REFINE_STEPS). Candidates still
+    unconverged after the last step are rejected.
+
+    Returns (ls, ys, xs updated ints, off (N,3) clamped, contr, converged,
+    tr, det)."""
+    L_total, Hn, Wn = dog.shape
+    off = contr = tr = det = None
+    for it in range(_REFINE_STEPS):
+        off, contr, tr, det = _refine_once(dog, ls, ys, xs)
+        if it == _REFINE_STEPS - 1:
+            break
+        move = jnp.any(jnp.abs(off) >= 0.5, axis=-1)
+        step = jnp.round(off).astype(jnp.int32)
+        xs = jnp.where(
+            move, jnp.clip(xs + step[:, 0], border, Wn - 1 - border), xs
+        )
+        ys = jnp.where(
+            move, jnp.clip(ys + step[:, 1], border, Hn - 1 - border), ys
+        )
+        ls = jnp.where(move, jnp.clip(ls + step[:, 2], 1, L_total - 2), ls)
+    converged = jnp.all(jnp.abs(off) < 0.5, axis=-1)
+    off = jnp.clip(off, -0.5, 0.5)
+    contr = jnp.where(converged, contr, 0.0)
+    return ls, ys, xs, off, contr, converged, tr, det
 
 
 def _dense_hist(weights, pos, n_bins, circular):
@@ -220,16 +256,38 @@ def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
     idx = (jnp.arange(36)[None, :] + jnp.arange(-2, 3)[:, None]) % 36
     hist = jnp.einsum("k,nkb->nb", k, hist[:, idx])
 
+    def _peak_angle(peak):
+        hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+        hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
+        hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
+        denom = hl - 2.0 * hp + hr
+        interp = jnp.where(
+            jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0
+        )
+        bin_f = (
+            peak.astype(jnp.float32) + jnp.clip(interp, -0.5, 0.5)
+        ) % 36.0
+        return bin_f / 36.0 * 2.0 * jnp.pi, hp
+
     peak = jnp.argmax(hist, axis=1)
-    hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
-    hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
-    denom = hl - 2.0 * hp + hr
-    interp = jnp.where(
-        jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0
+    ang1, hmax = _peak_angle(peak)
+
+    # Secondary orientation peak (OpenCV: every local max >= 0.8 * global
+    # max spawns a duplicate keypoint, sift.cpp calcOrientationHist
+    # caller). We emit the single best secondary — ties beyond two peaks
+    # are rare and the capacity stays static.
+    is_local_max = (hist >= jnp.roll(hist, 1, axis=1)) & (
+        hist >= jnp.roll(hist, -1, axis=1)
     )
-    bin_f = (peak.astype(jnp.float32) + jnp.clip(interp, -0.5, 0.5)) % 36.0
-    return bin_f / 36.0 * 2.0 * jnp.pi
+    cols = jnp.arange(36)[None, :]
+    cand = jnp.where(
+        is_local_max & (cols != peak[:, None]), hist, -jnp.inf
+    )
+    peak2 = jnp.argmax(cand, axis=1)
+    h2 = jnp.take_along_axis(cand, peak2[:, None], 1)[:, 0]
+    has2 = h2 >= 0.8 * hmax
+    ang2, _ = _peak_angle(peak2)
+    return ang1, ang2, has2
 
 
 def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig):
@@ -306,7 +364,9 @@ def _detect_octave(dog, gauss, budget: int, o: int, cfg: SiftConfig):
     ys = rem // Wn
     xs = rem % Wn
 
-    off, contr, converged, tr, det = _refine(dog, ls, ys, xs)
+    ls, ys, xs, off, contr, converged, tr, det = _refine(
+        dog, ls, ys, xs, border
+    )
     contrast_ok = (
         jnp.abs(contr) * n_layers >= cfg.contrast_threshold * 255.0
     )
@@ -320,19 +380,26 @@ def _detect_octave(dog, gauss, budget: int, o: int, cfg: SiftConfig):
     sig_local = cfg.sigma * (2.0 ** (fl / n_layers))  # octave-local px
 
     gx, gy = _grad_maps(gauss)
-    ang = _orientations(gx, gy, ls, fy, fx, sig_local, ok, cfg)
-    desc = _descriptors(gx, gy, ls, fy, fx, sig_local, ang, cfg)
+    ang1, ang2, has2 = _orientations(gx, gy, ls, fy, fx, sig_local, ok, cfg)
+    # Duplicate each candidate for its secondary orientation peak
+    # (cv::SIFT emits a separate keypoint per peak >= 0.8 * max).
+    two = lambda a: jnp.concatenate([a, a], axis=0)
+    ang = jnp.concatenate([ang1, ang2], axis=0)
+    ok2 = jnp.concatenate([ok, ok & has2], axis=0)
+    desc = _descriptors(
+        gx, gy, two(ls), two(fy), two(fx), two(sig_local), ang, cfg
+    )
 
     oct_scale = (0.5 if cfg.upsample else 1.0) * (2.0**o)
     size = sig_local * oct_scale * 2.0
     return (
-        fx * oct_scale,
-        fy * oct_scale,
-        size,
-        jnp.abs(contr),
+        two(fx * oct_scale),
+        two(fy * oct_scale),
+        two(size),
+        two(jnp.abs(contr)),
         ang,
         desc,
-        ok,
+        ok2,
     )
 
 
