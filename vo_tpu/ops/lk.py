@@ -69,6 +69,12 @@ class LKConfig(NamedTuple):
     # over it so sharded runs take the SAME iteration counts as dense ones
     # (bitwise equality at any scale, not just <100 active points/shard)
     axis_name: str | None = None
+    # window memory layout: "lanes" stores windows as (S+10, S+10, N)
+    # with keypoints on the TPU lane dimension — every solver op is a
+    # full-width VPU op (measured 2.8x over the batched tent-matmul
+    # sampling at level-0 geometry). "batch" keeps the (N, S, S) batched
+    # MXU form (useful for comparison and small-N CPU tests).
+    layout: str = "lanes"
 
 
 class LKCache(NamedTuple):
@@ -105,6 +111,21 @@ def _window_origins(c, S, Hl, Wl):
     return ox, oy
 
 
+def _to_layout(win_nss: jnp.ndarray, config: LKConfig) -> jnp.ndarray:
+    """(N, S, S) crop -> storage layout (lanes stacks are pre-padded so
+    the per-iteration sampler never pads)."""
+    if config.layout == "lanes":
+        return _pad_lanes(jnp.transpose(win_nss, (1, 2, 0)))
+    return win_nss
+
+
+def _zero_win(N: int, config: LKConfig) -> jnp.ndarray:
+    dt = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    if config.layout == "lanes":
+        return jnp.zeros((1, 1, N), dt)
+    return jnp.zeros((N, 1, 1), dt)
+
+
 def lk_make_cache(pyr, pts, config: LKConfig = LKConfig()) -> LKCache:
     """Crop per-level windows around pts from a pyramid (used at init and
     after re-detects; tracking steps refresh the cache for free)."""
@@ -113,16 +134,16 @@ def lk_make_cache(pyr, pts, config: LKConfig = LKConfig()) -> LKCache:
     wins, origins = [], []
     for L, (S, _, skip) in enumerate(geo):
         if skip:
-            wins.append(jnp.zeros(
-                (N, 1, 1),
-                jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
-            ))
+            wins.append(_zero_win(N, config))
             origins.append(jnp.zeros((N, 2), jnp.float32))
             continue
         Hl, Wl = pyr[L].shape
         p = pts / (2.0**L)
         ox, oy = _window_origins(p, S, Hl, Wl)
-        wins.append(_crop_windows(pyr[L], ox, oy, S, config.precision))
+        wins.append(
+            _to_layout(_crop_windows(pyr[L], ox, oy, S, config.precision),
+                       config)
+        )
         origins.append(jnp.stack([ox, oy], 1).astype(jnp.float32))
     return LKCache(wins=tuple(wins), origins=tuple(origins))
 
@@ -196,6 +217,9 @@ def _sample_windows(
     )
 
 
+_PANEL_W = 256  # panel stride; each panel carries an S-column halo
+
+
 def _crop_windows(
     img: jnp.ndarray,
     ox: jnp.ndarray,
@@ -205,27 +229,118 @@ def _crop_windows(
 ):
     """(N, S, S) integer crops at per-point origins.
 
-    TPU formulation (profiled): a direct (N, S, S) advanced-index gather
-    runs at ~130 M elements/s and dominated the whole step. Instead:
-    rows by an axis-0 gather (contiguous lanes, bandwidth-bound), then
-    column selection as a batched one-hot matmul on the MXU. bf16 halves
-    the row-gather traffic and doubles the matmul rate (windows are then
-    bf16 throughout the LK solve — see LKConfig.precision)."""
+    TPU formulation (profiled, round 2): a direct (N, S, S)
+    advanced-index gather runs at ~130 M elements/s; a full-width rows
+    gather + one-hot contraction over W costs ~2.6 ms at level 0 because
+    both the gather traffic and the contraction scale with W. Instead the
+    image is cut into overlapped column panels of stride _PANEL_W (halo
+    S, so every window lies inside exactly one panel): rows are gathered
+    from the point's panel (narrow rows — ~4x less traffic) and columns
+    selected by a one-hot contraction over only _PANEL_W + S lanes
+    (~0.9 ms measured, 2.9x). bf16 halves traffic and doubles the matmul
+    rate (windows stay bf16 through the LK solve — LKConfig.precision)."""
     N = ox.shape[0]
     if precision == "bf16":
         img = img.astype(jnp.bfloat16)
     H, W = img.shape
+    PW = _PANEL_W
+    P = (W + PW - 1) // PW
+    pad = P * PW + S - W
+    imgp = jnp.pad(img, ((0, 0), (0, pad)))
+    panels = jnp.concatenate(
+        [imgp[:, p * PW : p * PW + PW + S] for p in range(P)], axis=0
+    )  # (P*H, PW+S)
+    pid = ox // PW
+    oxl = ox - pid * PW  # in [0, PW)
     ar = jnp.arange(S)
-    rows = img[(oy[:, None] + ar[None, :]).reshape(-1)]  # (N*S, W)
-    rows = rows.reshape(N, S, W)
-    cols = ox[:, None] + ar[None, :]  # (N, S) target column ids
+    rows = panels[(pid[:, None] * H + oy[:, None] + ar[None, :]).reshape(-1)]
+    rows = rows.reshape(N, S, PW + S)
+    cols = oxl[:, None] + ar[None, :]  # (N, S) target column ids
     onehot = (
-        jnp.arange(W)[None, :, None] == cols[:, None, :]
-    ).astype(img.dtype)  # (N, W, S)
+        jnp.arange(PW + S)[None, :, None] == cols[:, None, :]
+    ).astype(img.dtype)  # (N, PW+S, S)
     return jax.lax.dot_general(
         rows, onehot, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=img.dtype,
     )
+
+
+def _sample_windows_lanes(
+    winp: jnp.ndarray, qx, qy, wp: int, S: int
+) -> jnp.ndarray:
+    """Points-on-lanes sub-pixel sampling: winp is the zero-padded
+    (S + 10, S + 10, N) window stack (_pad_lanes), and the result is the
+    (wp, wp, N) bilinear patch at local centers (qx, qy) in UNPADDED
+    window coordinates.
+
+    TPU rationale (profiled): the batched tent-matmul form puts N on the
+    MXU batch dim with tiny (wp, S) matrices — ~5% utilization. With
+    keypoints on LANES every op is a full-width VPU op: integer row/col
+    alignment is a static-slice mask-accumulate over the S - wp + 3
+    possible offsets (two-level 8-blocked when that range is wide, i.e.
+    the coarse level), and the fractional blend is two FMAs. Measured
+    2.8x faster than the matmul form at level-0 geometry."""
+    f32 = jnp.float32
+    half = (wp - 1) // 2
+    by = jnp.floor(qy)
+    bx = jnp.floor(qx)
+    fy = (qy - by).astype(f32)[None, None, :]
+    fx = (qx - bx).astype(f32)[None, None, :]
+    oy = by.astype(jnp.int32) - half  # in [-1, S - wp + 1] when in range
+    ox = bx.astype(jnp.int32) - half
+
+    def aligned(x, o_idx, rows_out, axis):
+        """Σ_o (o_idx == o) * x[o + 1 : o + 1 + rows_out] along `axis`,
+        o in [-1, S - wp + 1]; two-level 8-blocked when the range > 16."""
+        n_off = S - wp + 3
+
+        def sl(arr, start, size):
+            return lax.slice_in_dim(arr, start, start + size, axis=axis)
+
+        if n_off <= 16:
+            acc = None
+            for o in range(-1, S - wp + 2):
+                m = (o_idx == o).astype(f32)
+                m = m[None, None, :]
+                term = m * sl(x, o + 1, rows_out).astype(f32)
+                acc = term if acc is None else acc + term
+            return acc
+        # two-level: o + 1 = 8 * blk + fine, fine in [0, 8) — cuts the
+        # select to ~n_off/8 + 8 terms (the coarse level's n_off, e.g. 51,
+        # would otherwise cost 51 full-window passes)
+        blk_idx = (o_idx + 1) // 8
+        fine_idx = (o_idx + 1) - 8 * blk_idx
+        n_blk = (n_off - 1) // 8 + 1  # blk of max o fits by _pad_lanes
+        mid = None
+        for b in range(n_blk):
+            m = (blk_idx == b).astype(f32)[None, None, :]
+            term = m * sl(x, 8 * b, rows_out + 7).astype(f32)
+            mid = term if mid is None else mid + term
+        acc = None
+        for f in range(8):
+            m = (fine_idx == f).astype(f32)[None, None, :]
+            term = m * sl(mid, f, rows_out)
+            acc = term if acc is None else acc + term
+        return acc
+
+    rows_al = aligned(winp, oy, wp + 1, 0)  # (wp+1, S+3, N) f32
+    rows_i = (
+        lax.slice_in_dim(rows_al, 0, wp, axis=0) * (1.0 - fy)
+        + lax.slice_in_dim(rows_al, 1, wp + 1, axis=0) * fy
+    )  # (wp, S+3, N)
+    cols_al = aligned(rows_i, ox, wp + 1, 1)  # (wp, wp+1, N)
+    return (
+        lax.slice_in_dim(cols_al, 0, wp, axis=1) * (1.0 - fx)
+        + lax.slice_in_dim(cols_al, 1, wp + 1, axis=1) * fx
+    )
+
+
+def _pad_lanes(win: jnp.ndarray) -> jnp.ndarray:
+    """(S, S, N) -> (S + 10, S + 10, N): one zero row/col before, nine
+    after — covers the o in [-1, S - wp + 1] alignment range, the +1
+    blend lookahead, and the two-level 8-blocked select's up-to-7-row
+    overshoot (block starts are 8-aligned)."""
+    return jnp.pad(win, ((1, 9), (1, 9), (0, 0)))
 
 
 def _refine_level(
@@ -253,14 +368,32 @@ def _refine_level(
         (q1[:, 0] < lo) | (q1[:, 0] > hi)
         | (q1[:, 1] < lo) | (q1[:, 1] > hi)
     )
-    big = _sample_windows(win1, q1[:, 0], q1[:, 1], wp, config.precision)
-    T = big[:, 1:-1, 1:-1]
-    Tx = (big[:, 1:-1, 2:] - big[:, 1:-1, :-2]) * 0.5
-    Ty = (big[:, 2:, 1:-1] - big[:, :-2, 1:-1]) * 0.5
+    lanes = config.layout == "lanes"
+    if lanes:
+        # windows are (S+10, S+10, N) zero-padded lanes stacks
+        sample = lambda w, q: _sample_windows_lanes(w, q[:, 0], q[:, 1], wp, S)
+        interior = lambda b: b[1:-1, 1:-1]
+        red = lambda a: jnp.sum(a, axis=(0, 1))
+        bc = lambda m: m[None, None, :]
+        big = sample(win1, q1)
+        T = interior(big)
+        Tx = (big[1:-1, 2:] - big[1:-1, :-2]) * 0.5
+        Ty = (big[2:, 1:-1] - big[:-2, 1:-1]) * 0.5
+    else:
+        sample = lambda w, q: _sample_windows(
+            w, q[:, 0], q[:, 1], wp, config.precision
+        )
+        interior = lambda b: b[:, 1:-1, 1:-1]
+        red = lambda a: jnp.sum(a, axis=(1, 2))
+        bc = lambda m: m[:, None]
+        big = sample(win1, q1)
+        T = interior(big)
+        Tx = (big[:, 1:-1, 2:] - big[:, 1:-1, :-2]) * 0.5
+        Ty = (big[:, 2:, 1:-1] - big[:, :-2, 1:-1]) * 0.5
 
-    gxx = jnp.sum(Tx * Tx, axis=(1, 2))
-    gxy = jnp.sum(Tx * Ty, axis=(1, 2))
-    gyy = jnp.sum(Ty * Ty, axis=(1, 2))
+    gxx = red(Tx * Tx)
+    gxy = red(Tx * Ty)
+    gyy = red(Ty * Ty)
     det = gxx * gyy - gxy * gxy
     trace = gxx + gyy
     # smaller eigenvalue of G, normalized per-pixel as in cv2
@@ -291,12 +424,10 @@ def _refine_level(
             (q2[:, 0] < lo) | (q2[:, 0] > hi)
             | (q2[:, 1] < lo) | (q2[:, 1] > hi)
         )
-        I = _sample_windows(
-            win2, q2[:, 0], q2[:, 1], wp, config.precision
-        )[:, 1:-1, 1:-1]
+        I = interior(sample(win2, q2))
         dI = I - T
-        bx = jnp.sum(dI * Tx, axis=(1, 2))
-        by = jnp.sum(dI * Ty, axis=(1, 2))
+        bx = red(dI * Tx)
+        by = red(dI * Ty)
         dvx = -(gyy * bx - gxy * by) * inv_det
         dvy = -(-gxy * bx + gxx * by) * inv_det
         step = jnp.stack([dvx, dvy], axis=1)
@@ -350,16 +481,15 @@ def _track_over_levels(get_win1, pyr2, pts, valid, config: LKConfig):
         S, full_margin, skip = geo[L]
         Hl, Wl = pyr2[L].shape
         if skip:
-            wins2[L] = jnp.zeros(
-                (N, 1, 1),
-                jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
-            )
+            wins2[L] = _zero_win(N, config)
             origins2[L] = jnp.zeros((N, 2), jnp.float32)
             continue
         p = pts / (2.0**L)
         c0 = p + flow
         ox2, oy2 = _window_origins(c0, S, Hl, Wl)
-        win2 = _crop_windows(pyr2[L], ox2, oy2, S, config.precision)
+        win2 = _to_layout(
+            _crop_windows(pyr2[L], ox2, oy2, S, config.precision), config
+        )
         origin2 = jnp.stack([ox2, oy2], 1).astype(jnp.float32)
         wins2[L] = win2
         origins2[L] = origin2
@@ -400,7 +530,9 @@ def lk_pyramid_track(
 
     def get_win1(L, S, Hl, Wl, p):
         ox1, oy1 = _window_origins(p, S, Hl, Wl)
-        win1 = _crop_windows(pyr1[L], ox1, oy1, S)
+        win1 = _to_layout(
+            _crop_windows(pyr1[L], ox1, oy1, S, config.precision), config
+        )
         return win1, jnp.stack([ox1, oy1], 1).astype(jnp.float32)
 
     out, status, _ = _track_over_levels(get_win1, pyr2, pts, valid, config)

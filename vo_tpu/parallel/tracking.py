@@ -32,9 +32,12 @@ from ..ops.lk import (
 )
 
 
-def _cache_specs_for(n_levels: int, axis: str) -> LKCache:
+def _cache_specs_for(n_levels: int, axis: str, config: LKConfig) -> LKCache:
+    # lanes layout keeps keypoints on the LAST (lane) dim of each window
+    # stack (ops/lk.py LKConfig.layout); origins stay keypoint-major
+    win_spec = P(None, None, axis) if config.layout == "lanes" else P(axis)
     return LKCache(
-        wins=tuple(P(axis) for _ in range(n_levels)),
+        wins=tuple(win_spec for _ in range(n_levels)),
         origins=tuple(P(axis) for _ in range(n_levels)),
     )
 
@@ -55,7 +58,7 @@ def sharded_lk_track(
     (new_pts, status, cache2) exactly equal to the dense tracker."""
     kp = P(axis)
     rep = P()
-    cache_spec = _cache_specs_for(len(cache.wins), axis)
+    cache_spec = _cache_specs_for(len(cache.wins), axis, config)
     # psum'ed early-exit counts keep sharded iteration schedules identical
     # to the dense tracker's (ops/lk.py LKConfig.axis_name)
     fn = shard_map(
@@ -83,7 +86,7 @@ def sharded_lk_make_cache(
     kp = P(axis)
     rep = P()
     geo = lk_level_geometry([im.shape for im in pyr], config)
-    cache_spec = _cache_specs_for(len(geo), axis)
+    cache_spec = _cache_specs_for(len(geo), axis, config)
     fn = shard_map(
         functools.partial(_cache_block, config=config),
         mesh=mesh,
