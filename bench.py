@@ -1,12 +1,13 @@
-"""Benchmark: flagship tracking VO, frames/s on one chip.
+"""Benchmark: VO presets, frames/s on one chip.
 
-Prints ONE JSON line:
+Default (driver mode): bench the flagship tracking_orb config and print
+ONE JSON line:
   {"metric": "tracking_orb_fps", "value": N, "unit": "frames/s",
    "vs_baseline": N}
 
-Config: tracking_orb (ORB-3000 detect at init, pyramidal LK tracking,
-5-point RANSAC, triangulation scale) — the reference's fastest complete
-pipeline, 72.1 fps CPU (README.md:43, results/timing.txt:5; BASELINE.md).
+`python bench.py --all`: bench every published reference config (the 7
+rows of BASELINE.md / results/timing.txt), one JSON line each, flagship
+line first — the reproducible source of SCOREBOARD.md.
 
 Measurement notes (see vo_tpu/utils/profiling.py):
 - frames are pre-staged in HBM (the axon tunnel's 40 MB/s H2D would
@@ -21,18 +22,30 @@ Measurement notes (see vo_tpu/utils/profiling.py):
 """
 
 import json
-import os
+import sys
 import time
 
 import numpy as np
 
-
-BASELINE_FPS = 72.1  # tracking_orb, results/timing.txt:5
+# reference fps (results/timing.txt, README; BASELINE.md table) and the
+# per-preset number of timed frames (bounded so --all stays ~minutes)
+BASELINES = {
+    "tracking_orb": (72.1, 200),
+    "tracking_sift": (60.6, 150),
+    "matching_orb": (19.0, 100),
+    "matching_orb_3d_no_correspond": (19.7, 100),
+    "matching_orb_3d_correspond": (14.3, 60),
+    "matching_sift": (8.2, 40),
+    "tracking_sift_ba": (4.6, 40),
+}
 N_WARMUP = 2
-N_FRAMES = 200
 
 
-def load_frames():
+def load_frames(n):
+    import jax
+    import jax.numpy as jnp
+    import os
+
     from vo_tpu.data.kitti import load_gray
 
     paths = ["/root/reference/000000.png", "/root/reference/000001.png"]
@@ -44,49 +57,57 @@ def load_frames():
             rng.uniform(0, 255, (376, 1241)).astype(np.float32)
             for _ in range(2)
         ]
-    # distinct, real-statistics frames
     return [
-        np.roll(base[i % 2], 3 * i, axis=1) for i in range(N_FRAMES + 2)
+        jax.device_put(jnp.asarray(np.roll(base[i % 2], 3 * i, axis=1)))
+        for i in range(n + N_WARMUP + 1)
     ]
+
+
+def _pose_of(out):
+    return out.frame.pose if hasattr(out, "frame") else out.pose
+
+
+def bench_preset(name: str, frames, K) -> dict:
+    from vo_tpu.runtime.presets import get_preset
+
+    baseline, n = BASELINES[name]
+    preset = get_preset(name)
+    vo = preset.build(K)
+    # BA presets must compile the BA-trigger step variant during warmup
+    # (one full cadence), or the first timed window eats a compile
+    n_warm = (
+        preset.window.ba_every + 1 if preset.window is not None else N_WARMUP
+    )
+    state = vo.init(frames[0])
+    for i in range(n_warm):
+        state, out = vo.step(state, frames[1 + i % (len(frames) - 1)])
+    np.asarray(_pose_of(out))
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, out = vo.step(state, frames[1 + (n_warm + i) % (len(frames) - 1)])
+    np.asarray(_pose_of(out))  # value fetch = the only reliable sync
+    fps = n / (time.perf_counter() - t0)
+    return {
+        "metric": f"{name}_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }
 
 
 def main():
     import vo_tpu  # noqa: F401 — sets matmul precision
-    import jax
-    import jax.numpy as jnp
 
-    from vo_tpu.runtime.presets import get_preset
-
-    frames = [
-        jax.device_put(jnp.asarray(f, jnp.float32)) for f in load_frames()
-    ]
+    run_all = "--all" in sys.argv[1:]
+    names = list(BASELINES) if run_all else ["tracking_orb"]
+    n_frames = max(BASELINES[name][1] for name in names)
+    frames = load_frames(n_frames)
     K = np.array(
         [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
     )
-    vo = get_preset("tracking_orb").build(K)
-
-    state = vo.init(frames[0])
-    for i in range(N_WARMUP):
-        state, out = vo.step(state, frames[1 + i])
-    jax.block_until_ready(out.pose)
-
-    t0 = time.perf_counter()
-    for i in range(N_FRAMES):
-        state, out = vo.step(state, frames[2 + i])
-    np.asarray(out.pose)  # value fetch = the only reliable sync
-    dt = time.perf_counter() - t0
-
-    fps = N_FRAMES / dt
-    print(
-        json.dumps(
-            {
-                "metric": "tracking_orb_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+    for name in names:
+        print(json.dumps(bench_preset(name, frames, K)), flush=True)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,27 @@ def window_reset(st: WindowState) -> WindowState:
                        valid=jnp.zeros_like(st.valid))
 
 
+def window_remap(
+    st: WindowState, old_idx: jnp.ndarray, ok: jnp.ndarray
+) -> WindowState:
+    """Re-key window slots across a re-detect: new slot j inherits the
+    observation history of old slot old_idx[j] where ok[j] (else starts
+    with no history). Count is preserved, so BA keeps running across
+    re-detects — the TPU equivalent of the reference re-tracking stored
+    window images (with_bundle_adjustment.cpp:464-499) without keeping
+    any images: history transfers by slot association instead.
+
+    Note: if two new slots map to the same old slot both inherit its
+    history (duplicate landmarks); the BA's per-landmark weighting makes
+    this benign and the next W frames age duplicates out."""
+    return WindowState(
+        poses=st.poses,
+        obs=st.obs[:, old_idx],
+        valid=st.valid[:, old_idx] & ok[None, :],
+        count=st.count,
+    )
+
+
 def run_window_ba(
     st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None
 ):

@@ -42,6 +42,7 @@ def make_trajectory(
     speed: float = 1.0,
     yaw_amplitude: float = 0.15,
     seed: int = 1,
+    n_turns: float = 2.5,
 ) -> np.ndarray:
     """(N, 4, 4) smooth cam->world poses: forward motion with gentle yaw.
 
@@ -51,7 +52,7 @@ def make_trajectory(
     rng = np.random.default_rng(seed)
     # Smooth yaw-rate profile.
     yaw_rate = yaw_amplitude * np.sin(
-        np.linspace(0, 2.5 * np.pi, n_frames) + rng.uniform(0, np.pi)
+        np.linspace(0, n_turns * np.pi, n_frames) + rng.uniform(0, np.pi)
     ) / max(n_frames, 1)
     yaw = np.cumsum(yaw_rate)
     # Mildly varying speed so GT scale is not identically 1.
@@ -119,6 +120,11 @@ class SyntheticSequence:
     shape: tuple[int, int]
     points_w: np.ndarray
     contrast: np.ndarray
+    # texture-poor stretches: frames in any [start, end) render only
+    # `dropout_keep` of the landmarks — drives tracked counts under the
+    # <150 fallback threshold, exercising the re-detect path
+    dropouts: tuple = ()
+    dropout_keep: float = 0.12
     _cache: dict = field(default_factory=dict, repr=False)
 
     @classmethod
@@ -129,11 +135,18 @@ class SyntheticSequence:
         n_points: int = 1500,
         speed: float = 1.0,
         seed: int = 0,
+        yaw_amplitude: float = 0.15,
+        n_turns: float = 2.5,
+        dropouts: tuple = (),
+        dropout_keep: float = 0.12,
     ) -> "SyntheticSequence":
         H, W = shape
         f = 0.9 * W
         K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
-        poses = make_trajectory(n_frames=n_frames, speed=speed, seed=seed + 1)
+        poses = make_trajectory(
+            n_frames=n_frames, speed=speed, seed=seed + 1,
+            yaw_amplitude=yaw_amplitude, n_turns=n_turns,
+        )
         pts, con = make_world(n_points=n_points, seed=seed)
         if n_frames > 60:
             # Long sequences would drive out of the fixed landmark box:
@@ -158,15 +171,43 @@ class SyntheticSequence:
             )
             pts = np.concatenate([pts, extra], axis=0)
             con = np.concatenate([con, con_extra])
-        return cls(poses=poses, K=K, shape=shape, points_w=pts, contrast=con)
+        return cls(
+            poses=poses, K=K, shape=shape, points_w=pts, contrast=con,
+            dropouts=tuple(dropouts), dropout_keep=dropout_keep,
+        )
+
+    @classmethod
+    def generate_hard(
+        cls, n_frames: int = 1000, shape: tuple[int, int] = (240, 320),
+        seed: int = 0,
+    ) -> "SyntheticSequence":
+        """The round-2 evaluation sequence (VERDICT item 4 proxy): sharp
+        turns, varying speed, and three texture-poor stretches that force
+        <150-survivor re-detect fallbacks."""
+        k = n_frames // 10
+        return cls.generate(
+            n_frames=n_frames, shape=shape, n_points=4000, speed=1.0,
+            seed=seed, yaw_amplitude=0.6, n_turns=7.0,
+            dropouts=((3 * k, 3 * k + k // 2),
+                      (6 * k, 6 * k + k // 3),
+                      (8 * k, 8 * k + k // 2)),
+        )
 
     def __len__(self) -> int:
         return len(self.poses)
 
+    def _dropped(self, i: int) -> bool:
+        return any(a <= i < b for a, b in self.dropouts)
+
     def frame(self, i: int) -> np.ndarray:
         if i not in self._cache:
+            pts, con = self.points_w, self.contrast
+            if self._dropped(i):
+                rng = np.random.default_rng(12345)  # same subset all frames
+                keep = rng.random(len(pts)) < self.dropout_keep
+                pts, con = pts[keep], con[keep]
             self._cache[i] = render_frame(
-                self.points_w, self.contrast, self.poses[i], self.K, self.shape
+                pts, con, self.poses[i], self.K, self.shape
             )
         return self._cache[i]
 

@@ -26,7 +26,7 @@ from ..ba.window import (
     run_window_ba,
     window_init,
     window_push,
-    window_reset,
+    window_remap,
 )
 from ..ops.lk import (
     LKCache,
@@ -120,9 +120,9 @@ class TrackingBAVO:
 
     def step(self, state: TrackingBAState, img: np.ndarray):
         refresh = self._gate.update()
-        self._win_fill = 1 if refresh else min(
-            self._win_fill + 1, self.wcfg.window_size
-        )
+        # window history survives re-detects (window_remap), so the fill
+        # counter no longer resets on refresh
+        self._win_fill = min(self._win_fill + 1, self.wcfg.window_size)
         self._frame_idx += 1
         do_ba = (
             self._frame_idx % self.wcfg.ba_every == 0
@@ -167,13 +167,28 @@ def _ba_step(
 ):
     pyr2 = lk_build_pyramid(img, cfg.lk)
     if refresh:
-        # re-detect + match (feature_tracking.cpp:195-220); slot identity
-        # breaks, so the window resets below. Detection ran in the shared
-        # detect program (feats); fusing it here blew up compile memory.
+        # re-detect + match (feature_tracking.cpp:195-220). Detection ran
+        # in the shared detect program (feats); fusing it here blew up
+        # compile memory.
         (pts1, d1, v1), (p2, d2, v2) = feats
         m = match_features(d1, d2, v1, v2, cfg)
         pts2, valid = p2[m.idx], m.valid
         cache2 = lk_make_cache(pyr2, pts2, cfg.lk)
+        # Carry BA tracks across the re-detect: the fresh detection pts1
+        # lives on the SAME frame as the old tracked positions
+        # (state.pyramid[0]), so new slot j inherits the history of the
+        # nearest old tracked slot within 1.5 px (see window_remap;
+        # replaces the window reset that silently disabled BA for W
+        # frames after every fallback).
+        d2_tab = jnp.sum(
+            (pts1[:, None, :] - state.pts[None, :, :]) ** 2, axis=-1
+        )
+        d2_tab = jnp.where(state.pts_valid[None, :], d2_tab, jnp.inf)
+        old_idx = jnp.argmin(d2_tab, axis=1)
+        near = (
+            jnp.take_along_axis(d2_tab, old_idx[:, None], 1)[:, 0] < 1.5**2
+        )
+        remap = (old_idx, near & v1)
     else:
         pts1 = state.pts
         pts2, valid, cache2 = lk_pyramid_track_cached(
@@ -186,10 +201,10 @@ def _ba_step(
         state.prev3d, state.prev3d_valid, state.pose, sub, cfg,
     )
 
-    # Window upkeep: slot identity breaks on re-detect -> reset (the
-    # reference instead re-tracks across stored window images; our tracks
-    # are only consistent between re-detects).
-    win = window_reset(state.window) if refresh else state.window
+    # Window upkeep: on re-detect, re-key slots to the new detection via
+    # the same-frame position association (window_remap) so BA survives
+    # fallbacks, as the reference's stored-image re-tracking does.
+    win = window_remap(state.window, *remap) if refresh else state.window
     win = window_push(win, new_pose, pts2, valid)
 
     frame_idx = state.frame_idx + 1
