@@ -184,13 +184,17 @@ class SyntheticSequence:
         """The round-2 evaluation sequence (VERDICT item 4 proxy): sharp
         turns, varying speed, and three texture-poor stretches that force
         <150-survivor re-detect fallbacks."""
+        # Tuned so the cv2 reference pipelines land in their
+        # KITTI-characteristic accuracy regime (drift@100m ~30-60%) —
+        # hard enough to exercise turns + fallbacks, not degenerate.
         k = n_frames // 10
         return cls.generate(
             n_frames=n_frames, shape=shape, n_points=4000, speed=1.0,
-            seed=seed, yaw_amplitude=0.6, n_turns=7.0,
+            seed=seed, yaw_amplitude=0.3, n_turns=4.0,
             dropouts=((3 * k, 3 * k + k // 2),
                       (6 * k, 6 * k + k // 3),
                       (8 * k, 8 * k + k // 2)),
+            dropout_keep=0.2,
         )
 
     def __len__(self) -> int:

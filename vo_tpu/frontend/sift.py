@@ -432,12 +432,26 @@ def sift_detect_and_compute(
     k = min(config.nfeatures, int(masked.shape[0]))
     top, idx = lax.top_k(masked, k)
     keep = top > 0.0
+    # Canonical RASTER output order (invalid slots last): selection is by
+    # response, but emission order follows scan order like cv::SIFT's
+    # de-facto ordering. This matters beyond parity: the unmatched-cloud
+    # scale estimator pairs triangulated points BY INDEX
+    # (feature_matching.cpp:251-254, SURVEY.md §7 hard-part 4), which is
+    # only meaningful when index order is spatially coherent — a
+    # response-sorted order made matching_sift's scale pairing garbage
+    # (measured: 3.5x the cv2 anchor's ATE on the eval sequence).
+    ry = ys[idx]
+    rx = xs[idx]
+    rast = jnp.where(keep, ry * 16384.0 + rx, jnp.inf)
+    order = jnp.argsort(rast)
+    idx = idx[order]
+    keep = keep[order]
     vz = lambda a: jnp.where(keep, a[idx], jnp.zeros_like(a[idx]))
     return SiftFeatures(
         xs=vz(xs),
         ys=vz(ys),
         sizes=vz(sizes),
-        scores=jnp.where(keep, top, 0.0),
+        scores=vz(scores),
         angles=vz(angles),
         desc=desc[idx] * keep[:, None].astype(desc.dtype),
         valid=keep,

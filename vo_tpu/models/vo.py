@@ -160,11 +160,16 @@ def _pose_scale_chain(
         s = relative_scale_unmatched(prev3d, prev3d_valid, X, cur_valid)
 
     n_ok = jnp.sum(valid)
-    enough = n_ok >= cfg.min_pose_points
+    n_inl = pose_res.mask.sum()
+    # Degrade to identity motion when associations OR RANSAC inliers are
+    # too few (the reference aborts on degenerate E; holding the pose is
+    # the graceful equivalent, and gating on inliers keeps near-empty
+    # texture-dropout frames from injecting garbage rotations).
+    enough = (n_ok >= cfg.min_pose_points) & (n_inl >= cfg.min_pose_points)
     T = make_se3(R, s * t)
     new_pose = jnp.where(enough, pose @ inv_se3(T), pose)
     s = jnp.where(enough, s, 1.0)
-    return new_pose, X, cur_valid & enough, s, pose_res.mask.sum()
+    return new_pose, X, cur_valid & enough, s, n_inl
 
 
 # ---------------------------------------------------------------- tracking
