@@ -475,7 +475,16 @@ def _start_host_copy(out) -> None:
             pass
 
 
-def run_vo(seq, pipeline, verbose: bool = False):
+def _out_ready(out) -> bool:
+    """True when every leaf of a step output has arrived on the host."""
+    for leaf in jax.tree.leaves(out):
+        ready = getattr(leaf, "is_ready", None)
+        if ready is not None and not ready():
+            return False
+    return True
+
+
+def run_vo(seq, pipeline, verbose: bool = False, on_frame=None):
     """Host loop over a sequence object (KittiSequence / SyntheticSequence).
 
     Latency design: on tunneled TPUs a synchronous device->host read costs
@@ -483,15 +492,25 @@ def run_vo(seq, pipeline, verbose: bool = False):
     an async copy) and all logging/conversion happens after the loop —
     the device pipeline never stalls on the host.
 
+    `on_frame(i, out)` (optional) is called DURING the run for outputs
+    whose async copies have already arrived — the live-view hook
+    (utils/live.py). It intentionally lags the device a few frames and
+    never blocks the dispatch loop.
+
     Returns (est_path (N, 2) x/z, gt_path (N, 2), scales (N, 2) [gt, est],
     stats list of per-frame dicts)."""
     gt_poses = seq.poses
     state = pipeline.init(seq.frame(0))
     outs = []
+    consumed = 0
     for i in range(1, len(seq)):
         state, out = pipeline.step(state, seq.frame(i))
         _start_host_copy(out)
         outs.append(out)
+        if on_frame is not None:
+            while consumed < len(outs) and _out_ready(outs[consumed]):
+                on_frame(consumed + 1, outs[consumed])
+                consumed += 1
         if verbose and i % 100 == 0:
             print(f"dispatched frame {i}")
 

@@ -62,6 +62,12 @@ def main(argv=None) -> dict:
         "rewrites carry across the resume)",
     )
     ap.add_argument("--checkpoint-file", default=None)
+    ap.add_argument(
+        "--live", action="store_true",
+        help="live trajectory canvas during the run (drawPaths/imshow "
+        "equivalent, feature_tracking.cpp:312-328; lags the device a few "
+        "frames; headless-safe no-op without a display; non-BA presets)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -90,9 +96,27 @@ def main(argv=None) -> dict:
         )
         est, gt, scales, stats = runner.run(seq, verbose=args.verbose)
     else:
+        on_frame = None
+        view = None
+        if args.live:
+            import numpy as _np
+
+            from ..utils.live import LiveTrajectoryView
+
+            view = LiveTrajectoryView()
+            gt_poses = seq.poses
+
+            def on_frame(i, out):
+                pose = _np.asarray(
+                    out.frame.pose if hasattr(out, "frame") else out.pose
+                )
+                view.update(gt_poses[i][[0, 2], 3], pose[[0, 2], 3])
+
         est, gt, scales, stats = preset.run(
-            seq, pipeline, verbose=args.verbose
+            seq, pipeline, verbose=args.verbose, on_frame=on_frame
         )
+        if view is not None:
+            view.close()
     run_s = time.perf_counter() - t0
 
     metrics = evaluate_paths(gt, est, scales)

@@ -34,10 +34,12 @@ class Preset:
             return self.make(K, self.config, self.window)
         return self.make(K, self.config)
 
-    def run(self, seq, pipeline, verbose=False):
+    def run(self, seq, pipeline, verbose=False, on_frame=None):
         if self.window is not None:
+            # (live view hook not plumbed through the BA runner — its
+            # window-rewrite semantics redraw past frames)
             return run_vo_ba(seq, pipeline, verbose=verbose)
-        return run_vo(seq, pipeline, verbose=verbose)
+        return run_vo(seq, pipeline, verbose=verbose, on_frame=on_frame)
 
 
 _ORB = VOConfig(orb=OrbConfig(nfeatures=3000, fast_threshold=20.0))
