@@ -410,12 +410,13 @@ def _refine_level(
     n_active0 = jnp.maximum(_gsum(jnp.sum(active0)), 1)
 
     def cond(carry):
-        # early exit once (almost) every active point converged or froze
-        # — the slowest 1% are usually divergent tracks not worth gating
-        # the whole batch on; data-dependent trip count, gather-free trips
+        # early exit once ~96% of active points converged or froze — the
+        # slow tail is dominated by divergent tracks not worth gating the
+        # whole batch on (measured: 1% -> 4% saves iterations with no
+        # change in cv2 endpoint parity); data-dependent trip count
         _, converged, it = carry
         remaining = _gsum(jnp.sum(active0 & ~converged))
-        return (it < config.iters) & (remaining * 100 > n_active0)
+        return (it < config.iters) & (remaining * 25 > n_active0)
 
     def body(carry):
         v, converged, it = carry
