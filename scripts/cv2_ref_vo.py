@@ -82,6 +82,70 @@ def _median_ratio_scale(prev3d, cur3d):
     return float(np.clip(np.median(r), 0.1, 5.0))
 
 
+def run_cv2_three_frame(seq, feature: str = "orb", verbose: bool = False):
+    """cv2 re-creation of the reference's 3-frame Python driver
+    (feature_tracking_scale.py, SURVEY.md §3.5): knn2(0.8) match frames
+    (1,2) and (2,3), intersect on the frame-2 indices, pose from the
+    RANSAC-inlier (pts2, pts3), triangulate both pairs, transform the
+    (1,2) cloud into frame 2 by (R12, t12), matched-pair scale median."""
+    det = _detector(feature)
+    bf = _matcher(feature)
+    K = np.asarray(seq.K, np.float64)
+
+    def to8(img):
+        return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
+    feats = [det.detectAndCompute(to8(seq.frame(i)), None) for i in (0, 1)]
+    cur = np.eye(4)
+    est = [np.zeros(2), np.zeros(2)]
+    gt = [seq.poses[0][[0, 2], 3], seq.poses[1][[0, 2], 3]]
+    scales = [(1.0, 1.0), (1.0, 1.0)]
+
+    for i in range(2, len(seq)):
+        feats.append(det.detectAndCompute(to8(seq.frame(i)), None))
+        (k1, d1), (k2, d2), (k3, d3) = feats[-3:]
+        s = 1.0
+        ok = False
+        m12 = _knn2_ratio(bf, d1, d2)
+        m23 = _knn2_ratio(bf, d2, d3)
+        map12 = {g.trainIdx: g.queryIdx for g in m12}
+        trip = [
+            (map12[g.queryIdx], g.queryIdx, g.trainIdx)
+            for g in m23 if g.queryIdx in map12
+        ]
+        if len(trip) >= 8:
+            p1 = np.array([k1[a].pt for a, _, _ in trip], np.float32)
+            p2 = np.array([k2[b].pt for _, b, _ in trip], np.float32)
+            p3 = np.array([k3[c].pt for _, _, c in trip], np.float32)
+            r12 = _pose(p1, p2, K)
+            E, mask = cv2.findEssentialMat(p2, p3, K, cv2.RANSAC, 0.999, 1.0)
+            if r12 is not None and E is not None and E.shape == (3, 3):
+                _, R23, t23, mask = cv2.recoverPose(E, p2, p3, K, mask=mask)
+                inl = mask.reshape(-1).astype(bool)
+                R12, t12, _ = r12
+                X12 = _triangulate(R12, t12, p1, p2, K)
+                X12_in2 = X12 @ R12.T + t12  # cloud into frame 2
+                X23 = _triangulate(R23, t23.reshape(3), p2, p3, K)
+                sel = inl if inl.sum() >= 2 else np.ones(len(p2), bool)
+                s = _median_ratio_scale(X12_in2[sel], X23[sel])
+                T = np.eye(4)
+                T[:3, :3] = R23
+                T[:3, 3] = s * t23.reshape(3)
+                cur = cur @ np.linalg.inv(T)
+                ok = True
+        est.append(cur[[0, 2], 3].copy())
+        gt.append(seq.poses[i][[0, 2], 3])
+        gt_s = float(
+            np.linalg.norm(seq.poses[i][:3, 3] - seq.poses[i - 1][:3, 3])
+        )
+        scales.append((max(gt_s, 1e-9), s if ok else 1.0))
+        feats.pop(0)
+        if verbose and i % 100 == 0:
+            print(f"cv2 3frame_{feature}: frame {i}, triplets {len(trip)}")
+
+    return np.asarray(est), np.asarray(gt), np.asarray(scales)
+
+
 def run_cv2_vo(seq, mode: str = "tracking", feature: str = "orb",
                min_tracked: int = 150, verbose: bool = False):
     """Run the cv2 reference pipeline over a sequence object.

@@ -98,7 +98,7 @@ def main():
         return True
 
     if not args.skip_cv2:
-        from cv2_ref_vo import run_cv2_vo
+        from cv2_ref_vo import run_cv2_three_frame, run_cv2_vo
 
         for mode, feat in CV2_CONFIGS:
             name = f"cv2ref_{mode}_{feat}"
@@ -106,6 +106,9 @@ def main():
                 continue
             est, gt, scales = run_cv2_vo(seq, mode, feat)
             record(name, est, gt, scales)
+        if not have("cv2ref_3frame_orb"):
+            est, gt, scales = run_cv2_three_frame(seq, "orb")
+            record("cv2ref_3frame_orb", est, gt, scales)
 
     if not args.skip_tpu:
         for name in args.presets.split(","):
@@ -122,7 +125,11 @@ def main():
     # RESULTS.md reflects EVERY bundle on disk (cv2 anchors first), not
     # just this invocation's configs — partial re-runs merge cleanly.
     rows = []
-    names = [f"cv2ref_{m}_{f}" for m, f in CV2_CONFIGS] + PRESETS
+    names = (
+        [f"cv2ref_{m}_{f}" for m, f in CV2_CONFIGS]
+        + ["cv2ref_3frame_orb"]
+        + PRESETS
+    )
     for name in names:
         p = os.path.join(args.out, name, "metrics.json")
         if os.path.exists(p):
