@@ -19,6 +19,15 @@ Measurement notes (see vo_tpu/utils/profiling.py):
   jax.block_until_ready can return before execution completes, so
   dispatch-only or block-only loops can overreport by orders of
   magnitude. Only data-forced timing is trusted.
+
+Robustness against compile-time budgets (round-2 lesson: the driver's
+bench timed out inside the remote TPU compile and captured nothing):
+- vo_tpu enables a persistent compilation cache (.jax_cache/) so a warm
+  run skips the minutes-long remote compiles entirely;
+- the flagship prints a COARSE fps line from the first few timed frames
+  the moment it exists, then the refined full-run line (same metric name;
+  both are honest measurements — take whichever arrives);
+- stage-by-stage wall-clock telemetry streams to stderr.
 """
 
 import json
@@ -26,6 +35,13 @@ import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 # reference fps (results/timing.txt, README; BASELINE.md table) and the
 # per-preset number of timed frames (bounded so --all stays ~minutes)
@@ -67,7 +83,19 @@ def _pose_of(out):
     return out.frame.pose if hasattr(out, "frame") else out.pose
 
 
-def bench_preset(name: str, frames, K) -> dict:
+def _result(name: str, fps: float, baseline: float) -> dict:
+    return {
+        "metric": f"{name}_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }
+
+
+def bench_preset(name: str, frames, K, coarse_n: int = 0) -> dict:
+    """Bench one preset. With coarse_n > 0, print an early coarse JSON
+    line from the first coarse_n timed frames (driver-timeout insurance),
+    then measure the refined number over a fresh window of n frames."""
     from vo_tpu.runtime.presets import get_preset
 
     baseline, n = BASELINES[name]
@@ -78,36 +106,49 @@ def bench_preset(name: str, frames, K) -> dict:
     n_warm = (
         preset.window.ba_every + 1 if preset.window is not None else N_WARMUP
     )
+    t_build = time.perf_counter()
     state = vo.init(frames[0])
     for i in range(n_warm):
         state, out = vo.step(state, frames[1 + i % (len(frames) - 1)])
     np.asarray(_pose_of(out))
+    _log(f"{name}: warmup+compile {time.perf_counter() - t_build:.1f}s")
+    fi = n_warm
+
+    if coarse_n:
+        t0 = time.perf_counter()
+        for i in range(coarse_n):
+            state, out = vo.step(state, frames[1 + fi % (len(frames) - 1)])
+            fi += 1
+        np.asarray(_pose_of(out))
+        fps_c = coarse_n / (time.perf_counter() - t0)
+        print(json.dumps(_result(name, fps_c, baseline)), flush=True)
+        _log(f"{name}: coarse {fps_c:.1f} fps over {coarse_n} frames; refining")
 
     t0 = time.perf_counter()
     for i in range(n):
-        state, out = vo.step(state, frames[1 + (n_warm + i) % (len(frames) - 1)])
+        state, out = vo.step(state, frames[1 + fi % (len(frames) - 1)])
+        fi += 1
     np.asarray(_pose_of(out))  # value fetch = the only reliable sync
     fps = n / (time.perf_counter() - t0)
-    return {
-        "metric": f"{name}_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 3),
-    }
+    _log(f"{name}: {fps:.2f} fps over {n} frames ({fps / baseline:.2f}x)")
+    return _result(name, fps, baseline)
 
 
 def main():
-    import vo_tpu  # noqa: F401 — sets matmul precision
+    import vo_tpu  # noqa: F401 — matmul precision + compile cache
 
     run_all = "--all" in sys.argv[1:]
     names = list(BASELINES) if run_all else ["tracking_orb"]
     n_frames = max(BASELINES[name][1] for name in names)
+    t = time.perf_counter()
     frames = load_frames(n_frames)
+    _log(f"staged {len(frames)} frames in {time.perf_counter() - t:.1f}s")
     K = np.array(
         [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
     )
-    for name in names:
-        print(json.dumps(bench_preset(name, frames, K)), flush=True)
+    for i, name in enumerate(names):
+        coarse_n = 20 if i == 0 else 0
+        print(json.dumps(bench_preset(name, frames, K, coarse_n)), flush=True)
 
 
 if __name__ == "__main__":

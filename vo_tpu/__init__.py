@@ -19,6 +19,8 @@ Subpackages
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Geometry (essential matrix, triangulation, BA) needs true fp32 matmuls;
@@ -26,3 +28,22 @@ import jax as _jax
 # near-singular linear algebra. Hot large-tensor ops opt back into lower
 # precision explicitly where it is safe (e.g. int8 Hamming tables).
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: remote TPU compiles of the full VO step
+# cost minutes; a warm on-disk cache makes fresh processes (bench.py, the
+# driver, CLI runs) start in seconds. Keyed by backend+program, so CPU
+# test runs and TPU runs coexist. Override dir with VO_TPU_COMPILE_CACHE;
+# set it empty to disable.
+_cache_dir = _os.environ.get(
+    "VO_TPU_COMPILE_CACHE",
+    _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass

@@ -462,9 +462,14 @@ def sift_detect_and_compute(
     # only meaningful when index order is spatially coherent — a
     # response-sorted order made matching_sift's scale pairing garbage
     # (measured: 3.5x the cv2 anchor's ATE on the eval sequence).
-    ry = ys[idx]
-    rx = xs[idx]
-    rast = jnp.where(keep, ry * 16384.0 + rx, jnp.inf)
+    # int32 key: a float key (ry * 16384 + rx) loses sub-pixel x once
+    # ry * 16384 exceeds 2^24 (images taller than ~1024 px). A
+    # quarter-pixel int key orders nearby refinements stably up to
+    # H < 8192, W < 16384 — far beyond the frontend's pyramid limits.
+    ry = jnp.round(ys[idx] * 4.0).astype(jnp.int32)
+    rx = jnp.round(xs[idx] * 4.0).astype(jnp.int32)
+    W4 = 4 * 16384
+    rast = jnp.where(keep, ry * W4 + rx, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(rast)
     idx = idx[order]
     keep = keep[order]

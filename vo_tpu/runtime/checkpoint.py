@@ -18,8 +18,17 @@ import jax
 import numpy as np
 
 
-def save_state(state, filename: str, frame_idx: int | None = None) -> None:
-    """Serialize any pipeline-state pytree to one .npz file."""
+def save_state(
+    state,
+    filename: str,
+    frame_idx: int | None = None,
+    extra_meta: dict | None = None,
+) -> None:
+    """Serialize any pipeline-state pytree to one .npz file.
+
+    `extra_meta` (JSON-serializable) rides in the same atomic write as the
+    frame cursor — anything that must stay consistent with the state
+    (host-side counters, gate snapshots) belongs here, not in side files."""
     leaves, treedef = jax.tree.flatten(state)
 
     def to_np(l):
@@ -35,6 +44,7 @@ def save_state(state, filename: str, frame_idx: int | None = None) -> None:
         "treedef": str(treedef),
         "n_leaves": len(leaves),
         "frame_idx": frame_idx,
+        **(extra_meta or {}),
     }
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     tmp = filename + ".tmp.npz"  # savez keeps the name (.npz suffix)
@@ -69,6 +79,12 @@ def load_state(state_like, filename: str):
     return jax.tree.unflatten(treedef, new_leaves), meta["frame_idx"]
 
 
+def load_meta(filename: str) -> dict:
+    """Read just the JSON metadata of a checkpoint (cursor, host counters)."""
+    with np.load(filename, allow_pickle=False) as z:
+        return json.loads(str(z["__meta__"]))
+
+
 class CheckpointingRunner:
     """run_vo / run_vo_ba-style host loop with periodic checkpoints and resume.
 
@@ -80,9 +96,11 @@ class CheckpointingRunner:
     pipeline counters (BA frame index / window fill / fallback-gate state),
     and the per-frame logs so far (est path + scale pairs) — so a resumed
     run reproduces an uninterrupted one: BA cadence, fallback behavior, and
-    the window-pose est-path rewrites are all preserved. The side file is
-    written atomically BEFORE the state file; on a crash between the two
-    the side file is longer than the cursor and is truncated on resume."""
+    the window-pose est-path rewrites are all preserved. Crash consistency:
+    the host counters ride INSIDE the state npz (one atomic write with the
+    cursor); the paths side file is written first, so after a crash between
+    the two writes it is at most one period longer than the cursor and is
+    truncated to the cursor on resume."""
 
     def __init__(self, pipeline, ckpt_file: str, every: int = 100):
         self.pipeline = pipeline
@@ -97,16 +115,19 @@ class CheckpointingRunner:
                 h[name] = int(getattr(p, name))
         gate = getattr(p, "_gate", None)
         if gate is not None:
-            # drain pending async scalars synchronously so gate state is
-            # fully host-resident at the checkpoint boundary
-            while gate._inbox:
-                idx, arr = gate._inbox.pop(0)
-                gate._last_val_idx, gate._last_val = idx, int(arr)
+            # snapshot WITHOUT mutating the live gate: pending async
+            # scalars are read synchronously into the snapshot's pending
+            # list (restored into _inbox on resume), so a run that merely
+            # crosses a checkpoint boundary behaves exactly like an
+            # uncheckpointed one — the gate drains them on its own clock
             h["gate"] = {
                 "step": gate._step,
                 "last_trigger": gate._last_trigger,
                 "last_val_idx": gate._last_val_idx,
                 "last_val": gate._last_val,
+                "pending": [
+                    [idx, int(arr)] for idx, arr in gate._inbox
+                ],
             }
         return h
 
@@ -118,7 +139,9 @@ class CheckpointingRunner:
         gate = getattr(p, "_gate", None)
         if gate is not None and "gate" in h:
             g = h["gate"]
-            gate._inbox.clear()
+            # host ints are fine in the inbox: update() only needs
+            # int(arr), and its is_ready probe defaults to True for them
+            gate._inbox = [(int(i), int(v)) for i, v in g.get("pending", [])]
             gate._step = int(g["step"])
             gate._last_trigger = int(g["last_trigger"])
             gate._last_val_idx = int(g["last_val_idx"])
@@ -136,12 +159,18 @@ class CheckpointingRunner:
         if os.path.exists(self.ckpt_file) and os.path.exists(side):
             state, cursor = load_state(state, self.ckpt_file)
             start = int(cursor)
+            meta = load_meta(self.ckpt_file)
+            # host counters live in the state npz (same atomic write as
+            # the cursor), so they can never desync from the device state
+            if "host" in meta:
+                self._restore_host(meta["host"])
             with np.load(side, allow_pickle=False) as z:
                 # truncate to the cursor: the side file may be one
                 # checkpoint period newer than the state file
                 est_path = [row for row in z["est"][:start]]
                 scales = [tuple(row) for row in z["scales"][:start]]
-                if "__host__" in z:
+                if "__host__" in z and "host" not in meta:
+                    # legacy checkpoints (host dict in the side file)
                     self._restore_host(json.loads(str(z["__host__"])))
             stats = [{}] + [{"resumed": True}] * (start - 1)
             if verbose:
@@ -153,10 +182,12 @@ class CheckpointingRunner:
                 tmp,
                 est=np.asarray(est_path),
                 scales=np.asarray(scales),
-                __host__=json.dumps(self._capture_host()),
             )
             os.replace(tmp, side)
-            save_state(st, self.ckpt_file, frame_idx=i + 1)
+            save_state(
+                st, self.ckpt_file, frame_idx=i + 1,
+                extra_meta={"host": self._capture_host()},
+            )
 
         gt_path = [gt_poses[0][[0, 2], 3]]
         for i in range(1, len(seq)):
