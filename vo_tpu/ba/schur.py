@@ -47,13 +47,29 @@ class BAConfig(NamedTuple):
     lambda_init: float = 1e-3
     lambda_up: float = 10.0
     lambda_down: float = 0.5
+    # LM damping floor: along the (near-flat) monocular gauge direction
+    # the step is ~ gradient_noise / lambda, so letting lambda decay to
+    # 1e-8 amplifies fp32 cancellation noise in the Schur reduction into
+    # large null-space drift (measured, scripts/ba_diag.py). 1e-4 keeps
+    # the step bounded without slowing real convergence.
+    lambda_min: float = 1e-4
     gauge_fix_first: bool = True  # first pose constant (:669)
     # Monocular BA has a 7th gauge freedom the reference leaves loose
     # (Ceres wanders little because of its trust region; our fp32 Schur
     # solve would drift along the scale null-space): soft prior pinning
-    # the camera-center distance between window poses 0 and 1 to its
-    # initial value. sqrt-weight in pixel-residual units.
+    # a scale observable to its initial value. sqrt-weight in
+    # pixel-residual units.
     scale_gauge_weight: float = 100.0
+    # What the prior pins (measured, scripts/ba_diag.py): "traj_len"
+    # pins the TOTAL window path length — the per-segment scale noises
+    # average out, so the window's global scale is the best available —
+    # while relative segment corrections stay free. "baseline0" pins
+    # only the frame-0/1 distance: it leaves more freedom but transfers
+    # segment-0's full scale noise onto the whole window (measured ~2x
+    # worse unaligned center error). Round 2's "BA moves ATE ~1%" was
+    # NOT this prior: it was wild-depth outlier landmarks putting a
+    # floor under the cost (see ba/window.py build_landmarks gates).
+    scale_gauge_mode: str = "traj_len"
 
 
 class BAResult(NamedTuple):
@@ -144,6 +160,7 @@ def bundle_adjust(
     K: jnp.ndarray,
     config: BAConfig = BAConfig(),
     axis_name: str | None = None,
+    return_trace: bool = False,
 ) -> BAResult:
     """Joint pose+structure refinement on a fixed window.
 
@@ -160,27 +177,34 @@ def bundle_adjust(
     """
     W = poses.shape[0]
     mask = obs_mask & point_mask[None, :]
+    # Hard-zero every masked-out landmark row: garbage coordinates (huge
+    # or non-finite triangulations) overflow the Jacobian products to
+    # inf, and 0 * inf = NaN survives the sqrt-weight masking and poisons
+    # the whole normal-equation system (every LM step rejected).
+    points = jnp.where(
+        point_mask[:, None] & jnp.isfinite(points), points, 0.0
+    )
     free = jnp.ones((W,), poses.dtype)
     if config.gauge_fix_first:
         free = free.at[0].set(0.0)
 
-    # Scale-gauge prior: pin the *total* window trajectory length (sum of
-    # consecutive camera-center distances) to its initial value. Pinning
-    # the full length — not one baseline — averages the per-frame scale
-    # noise of the chained initialization, mimicking how the reference's
-    # trust-region Ceres solve stays near its init along the null space.
+    # Scale-gauge prior (see BAConfig.scale_gauge_mode): pin a scale
+    # observable to its initial value so the fp32 Schur solve cannot
+    # drift along the monocular scale null-space.
     def cam_center(p6):
         return -(exp_so3(p6[:3]).T @ p6[3:])
 
-    def traj_len(poses_):
+    def gauge_obs(poses_):
         c = jax.vmap(cam_center)(poses_)  # (W, 3)
         d = jnp.linalg.norm(c[1:] - c[:-1] + 1e-12, axis=-1)
+        if config.scale_gauge_mode == "baseline0":
+            return d[0]
         return jnp.sum(d)
 
-    d_target = traj_len(poses)
+    d_target = gauge_obs(poses)
 
     def scale_residual(poses_):
-        return config.scale_gauge_weight * (traj_len(poses_) - d_target)
+        return config.scale_gauge_weight * (gauge_obs(poses_) - d_target)
 
     def normal_eqs(poses_, points_):
         r, Jc, Jp = _res_and_jac(poses_, points_, obs, K)
@@ -211,15 +235,22 @@ def bundle_adjust(
         return Js, rs
 
     def solve(poses_, U, V, Wm, gc, gp, lam):
-        # Damp diagonals (LM, additive scaled-identity like Ceres' default
-        # Levenberg flavor on the normal equations).
+        # Marquardt damping: lam * diag(H) (+ tiny identity floor), like
+        # Ceres' scaled Levenberg flavor. Identity damping stalls here:
+        # far landmarks have tiny depth-direction Hessian diagonals
+        # (J ~ fx/z^2), so lam*I swamps exactly the updates BA needs to
+        # make — measured as a linear cost creep to a false floor
+        # (scripts/ba_diag.py).
         eye6 = jnp.eye(6, dtype=U.dtype)
         eye3 = jnp.eye(3, dtype=V.dtype)
-        Ud = _lsum(U, axis_name) + lam * eye6
+        Usum = _lsum(U, axis_name)
+        du = eye6 * jnp.diagonal(Usum, axis1=-2, axis2=-1)[..., None, :]
+        Ud = Usum + lam * du + (lam * 1e-6) * eye6
         # Padding landmarks get an identity V so the batched inverse is
         # well-posed; their gp is zero so their update is zero.
         pm = point_mask[:, None, None]
-        Vd = jnp.where(pm, V + lam * eye3, eye3)
+        dv = eye3 * jnp.diagonal(V, axis1=-2, axis2=-1)[..., None, :]
+        Vd = jnp.where(pm, V + lam * dv + (lam * 1e-6) * eye3, eye3)
         # closed-form batched inverse: jnp.linalg.inv lowers to a slow
         # serialized custom call for thousands of 3x3 blocks
         Vinv = inv3x3(Vd)  # (L,3,3) — local to shard
@@ -273,31 +304,32 @@ def bundle_adjust(
                 jnp.where(
                     accept, lam * config.lambda_down, lam * config.lambda_up
                 ),
-                1e-8,
+                config.lambda_min,
                 1e8,
             ),
             sel(cand_cost, cost_),
             sel(Un, U), sel(Vn, V), sel(Wn, Wm),
             sel(gcn, gc), sel(gpn, gp),
         )
-        return carry, accept
+        return carry, (accept, lam, cand_cost)
 
     init = (
         poses, points,
         jnp.asarray(config.lambda_init, poses.dtype), cost0,
         U0, V0, W0, gc0, gp0,
     )
-    (poses_f, points_f, _, cost_f, *_), _ = lax.scan(
+    (poses_f, points_f, _, cost_f, *_), trace = lax.scan(
         lm_step, init, None, length=config.max_iters
     )
 
-    return BAResult(
+    res = BAResult(
         poses=poses_f,
         points=points_f,
         cost0=cost0,
         cost=cost_f,
         n_obs=_lsum(jnp.sum(mask), axis_name),
     )
+    return (res, trace) if return_trace else res
 
 
 def reprojection_rmse(poses, points, obs, obs_mask, point_mask, K):

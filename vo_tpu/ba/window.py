@@ -23,7 +23,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..geometry.se3 import exp_so3, inv_se3, log_so3, make_se3
-from ..geometry.triangulate import triangulate_dlt
 from .schur import BAConfig, bundle_adjust
 
 
@@ -35,6 +34,16 @@ class WindowConfig(NamedTuple):
     min_landmarks: int = 20
     max_rot_update: float = 0.5  # rad (:708)
     max_trans_update: float = 50.0  # (:709)
+    # Landmark-build gates (beyond the reference's z>0, :555-572):
+    # near-parallel rays triangulated from the window's noisy chained
+    # poses produce wild depths (z in the thousands or negative) that LM
+    # cannot pull back across the cost barrier — they sit as permanent
+    # Huber outliers that both bias the poses and eat the BA's accuracy
+    # win (measured, scripts/ba_diag.py). Landmarks must reproject into
+    # every observing view within `max_init_px` at init and keep depths
+    # in (0, max_depth) in all observing views.
+    max_depth: float = 2000.0
+    max_init_px: float = 5.0
     ba: BAConfig = BAConfig()
 
 
@@ -97,6 +106,56 @@ def window_remap(
     )
 
 
+def triangulate_window(
+    T_wc: jnp.ndarray, obs: jnp.ndarray, valid: jnp.ndarray, K: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked multi-view DLT: (L, 3) world points from every valid
+    observation in the window (rows of invalid views are zeroed out of
+    A^T A). Wider effective baselines than the reference's fixed
+    frames-0/1 pair (buildLandmarks... :502-575) — far points whose 0-1
+    rays are near-parallel get conditioned by the 0..W-1 spread."""
+    P = jnp.einsum("ij,wjk->wik", K, T_wc[:, :3])  # (W, 3, 4)
+    u, v = obs[..., 0], obs[..., 1]
+    r1 = u[..., None] * P[:, None, 2] - P[:, None, 0]  # (W, L, 4)
+    r2 = v[..., None] * P[:, None, 2] - P[:, None, 1]
+    A = jnp.stack([r1, r2], axis=2)  # (W, L, 2, 4)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    A = A * valid[..., None, None]
+    AtA = jnp.einsum("wlri,wlrj->lij", A, A)  # (L, 4, 4)
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., 0]  # smallest-eigenvalue eigenvector
+    w = X[..., 3:]
+    return X[..., :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+
+
+def build_landmarks(
+    T_wc: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: WindowConfig,
+):
+    """(X (L, 3), point_ok (L,)): windowed triangulation + acceptance
+    gates. Beyond the reference's z>0 check, landmarks must keep positive
+    bounded depth in EVERY observing view and reproject within
+    cfg.max_init_px there — stuck wild-depth outliers otherwise put a
+    floor under the BA cost and bias the poses (scripts/ba_diag.py)."""
+    X = triangulate_window(T_wc, obs, valid, K)
+    pc = jnp.einsum("wij,lj->wli", T_wc[:, :3, :3], X) + T_wc[:, None, :3, 3]
+    z = pc[..., 2]
+    zsafe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    proj = pc[..., :2] / zsafe[..., None]
+    uv = proj * jnp.array([K[0, 0], K[1, 1]]) + jnp.array([K[0, 2], K[1, 2]])
+    err2 = jnp.sum((uv - obs) ** 2, axis=-1)  # (W, L)
+    depth_ok = (z > 0.0) & (z < cfg.max_depth)
+    view_ok = depth_ok & (err2 < cfg.max_init_px**2)
+    ok_all = jnp.all(view_ok | ~valid, axis=0)  # every observing view
+    n_views = jnp.sum(valid, axis=0)
+    return X, (
+        (n_views >= 2) & ok_all & jnp.all(jnp.isfinite(X), axis=1)
+    )
+
+
 def run_window_ba(
     st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None
 ):
@@ -112,18 +171,7 @@ def run_window_ba(
         [log_so3(T_wc[:, :3, :3]), T_wc[:, :3, 3]], axis=1
     )  # (W, 6)
 
-    # Landmarks: triangulate slots observed in the first two window frames
-    # under the current pose estimates (buildLandmarks... :502-575).
-    P0 = K @ T_wc[0, :3]
-    P1 = K @ T_wc[1, :3]
-    X = triangulate_dlt(P0, P1, st.obs[0], st.obs[1])  # world frame
-    z0 = (T_wc[0, :3, :3] @ X.T).T[:, 2] + T_wc[0, 2, 3]
-    point_ok = (
-        st.valid[0]
-        & st.valid[1]
-        & jnp.all(jnp.isfinite(X), axis=1)
-        & (z0 > 0.0)  # cheirality (:555-572)
-    )
+    X, point_ok = build_landmarks(T_wc, st.obs, st.valid, K, cfg)
 
     baseline = jnp.linalg.norm(st.poses[1, :3, 3] - st.poses[0, :3, 3])
     ba_ok = (
