@@ -29,9 +29,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.brief import brief_descriptors
+from ..ops.canvas import interior_mask, pack_canvas
 from ..ops.fast import fast_score
 from ..ops.harris import harris_response
-from ..ops.nms import detect_keypoints
+from ..ops.nms import blocked_topk_2d, detect_keypoints, nms_mask
 from ..ops.orientation import orientations_at
 from ..ops.pyramid import build_pyramid
 
@@ -48,6 +49,13 @@ class OrbConfig(NamedTuple):
     patch_size: int = 31
     harris_block: int = 7
     harris_k: float = 0.04
+    # Canvas packing (ops/canvas.py): pack all pyramid levels into one
+    # image so every dense stage runs ONCE instead of once per level —
+    # replaces the reference's 8 serial levels (orb.cpp:61-98) and the
+    # round-2 port's ~40 small per-level fusions. Keypoint output is
+    # identical (level aprons reproduce per-level border values); False
+    # keeps the per-level path for comparison.
+    canvas: bool = True
 
 
 class OrbFeatures(NamedTuple):
@@ -108,11 +116,97 @@ def _detect_level(img_l: jnp.ndarray, budget: int, config: OrbConfig):
     )
 
 
+def _detect_canvas(pyr, budgets, config: OrbConfig):
+    """Canvas-packed detection: every dense stage runs once over all
+    levels (see OrbConfig.canvas). Per-level work shrinks to a score
+    slice + two small top-k's."""
+    import numpy as np
+
+    shapes = tuple(tuple(im.shape) for im in pyr)
+    canvas, origins = pack_canvas(pyr)
+
+    score = fast_score(canvas, config.fast_threshold, config.fast_n)
+    score = score * interior_mask(canvas.shape, shapes, origins, border=3)
+    resp = jnp.where(
+        nms_mask(score, config.nms_window // 2) & (score > 0), score, 0.0
+    )
+    harris = harris_response(canvas, config.harris_block, config.harris_k)
+
+    # Per level: slice the masked score, top-(2*budget) FAST candidates,
+    # Harris-rerank to the budget (orb.cpp:63-86).
+    sel_xs, sel_ys, sel_h, sel_valid = [], [], [], []
+    rect = []  # per-keypoint level rectangle (canvas coords)
+    for (Hl, Wl), (oy, ox), budget in zip(shapes, origins, budgets):
+        sub = lax.slice(resp, (oy, ox), (oy + Hl, ox + Wl))
+        top, ys_l, xs_l, _ = blocked_topk_2d(sub, 2 * budget)
+        cand_ok = top > 0.0
+        cy = ys_l + oy
+        cx = xs_l + ox
+        h = jnp.where(cand_ok, harris[cy, cx], -jnp.inf)
+        top_h, idx = lax.top_k(h, budget)
+        valid = top_h > -jnp.inf
+        sel_xs.append(cx[idx])
+        sel_ys.append(cy[idx])
+        sel_h.append(jnp.where(valid, top_h, 0.0))
+        sel_valid.append(valid)
+        rect.append(
+            np.broadcast_to(
+                np.array([ox, oy, ox + Wl, oy + Hl], np.int32), (budget, 4)
+            )
+        )
+
+    xs = jnp.concatenate(sel_xs)
+    ys = jnp.concatenate(sel_ys)
+    hscore = jnp.concatenate(sel_h)
+    valid = jnp.concatenate(sel_valid)
+    rect_np = np.concatenate(rect, axis=0)
+    rect_t = tuple(jnp.asarray(rect_np[:, i]) for i in range(4))
+
+    # Gather stages once over ALL levels' keypoints, border rules applied
+    # against each keypoint's level rectangle.
+    angles = orientations_at(
+        canvas, ys, xs, config.patch_size, rect=rect_t
+    )
+    bits, packed = brief_descriptors(canvas, ys, xs, angles, rect=rect_t)
+
+    outs = []
+    off = 0
+    for l, ((Hl, Wl), (oy, ox), budget) in enumerate(
+        zip(shapes, origins, budgets)
+    ):
+        s = config.scale_factor**l
+        sl = slice(off, off + budget)
+        v = valid[sl]
+        vz = lambda a: jnp.where(v, a, jnp.zeros_like(a))
+        outs.append(
+            (
+                vz((xs[sl] - ox).astype(jnp.float32)) * s,
+                vz((ys[sl] - oy).astype(jnp.float32)) * s,
+                hscore[sl],
+                vz(angles[sl]),
+                bits[sl] * v[:, None].astype(bits.dtype),
+                packed[sl] * v[:, None].astype(packed.dtype),
+                jnp.full(budget, l, jnp.int32),
+                v,
+            )
+        )
+        off += budget
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def orb_detect_and_compute(img: jnp.ndarray, config: OrbConfig = OrbConfig()):
     """ORB features for one (H, W) float32 image, all levels fused."""
     budgets = level_budgets(config)
     pyr = build_pyramid(img, config.n_levels, config.scale_factor)
+
+    if config.canvas:
+        outs = _detect_canvas(pyr, budgets, config)
+        cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=0)
+        return OrbFeatures(
+            xs=cat(0), ys=cat(1), scores=cat(2), angles=cat(3),
+            bits=cat(4), packed=cat(5), level=cat(6), valid=cat(7),
+        )
 
     outs = []
     for l, (img_l, budget) in enumerate(zip(pyr, budgets)):

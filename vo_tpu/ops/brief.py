@@ -37,12 +37,16 @@ def brief_bits(
     ys: jnp.ndarray,
     xs: jnp.ndarray,
     angles: jnp.ndarray,
+    rect=None,
 ) -> jnp.ndarray:
     """(K, 256) uint8 bit planes; bit i = 1 iff smoothed(p1_i) < smoothed(p2_i).
 
     `smoothed` is the dense 5x5 box-sum image (box_filter5). Coordinates are
-    integer level-image pixels. OOB pairs produce bit 0 (Brief.cu:81-83)."""
+    integer level-image pixels. OOB pairs produce bit 0 (Brief.cu:81-83).
+    `rect` (optional) = per-keypoint (x0, y0, x1, y1) level bounds for
+    canvas-packed pyramids (ops/canvas.py)."""
     H, W = smoothed.shape[-2:]
+    rx0, ry0, rx1, ry1 = (0, 0, W, H) if rect is None else rect
     pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 4)
     px1, py1, px2, py2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
 
@@ -61,8 +65,16 @@ def brief_bits(
     cx1, cy1 = xi + dx1, yi + dy1
     cx2, cy2 = xi + dx2, yi + dy2
 
+    bx0 = jnp.asarray(rx0)[..., None]
+    by0 = jnp.asarray(ry0)[..., None]
+    bx1 = jnp.asarray(rx1)[..., None]
+    by1 = jnp.asarray(ry1)[..., None]
+
     def inb(cx, cy):
-        return (cx >= 2) & (cx <= W - 3) & (cy >= 2) & (cy <= H - 3)
+        return (
+            (cx >= bx0 + 2) & (cx <= bx1 - 3)
+            & (cy >= by0 + 2) & (cy <= by1 - 3)
+        )
 
     ok = inb(cx1, cy1) & inb(cx2, cy2)
     cx1c, cy1c = jnp.clip(cx1, 0, W - 1), jnp.clip(cy1, 0, H - 1)
@@ -86,8 +98,9 @@ def brief_descriptors(
     ys: jnp.ndarray,
     xs: jnp.ndarray,
     angles: jnp.ndarray,
+    rect=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Convenience wrapper: smooth + bits + packed. Returns (bits, packed)."""
     smoothed = box_filter5(img)
-    bits = brief_bits(smoothed, ys, xs, angles)
+    bits = brief_bits(smoothed, ys, xs, angles, rect)
     return bits, pack_bits(bits)

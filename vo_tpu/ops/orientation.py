@@ -44,13 +44,21 @@ def orientations_at(
     ys: jnp.ndarray,
     xs: jnp.ndarray,
     patch_size: int = 31,
+    rect=None,
 ) -> jnp.ndarray:
-    """Per-keypoint orientation angle (radians); 0 if patch out of bounds."""
+    """Per-keypoint orientation angle (radians); 0 if patch out of bounds.
+
+    `rect` (optional) = per-keypoint bounds (x0, y0, x1, y1) arrays for
+    canvas-packed pyramids (ops/canvas.py): the border rule is applied
+    against the keypoint's LEVEL rectangle instead of the image edge."""
     H, W = img.shape[-2:]
     r = patch_size // 2
     m10, m01 = moment_maps(img, patch_size)
     yi = ys.astype(jnp.int32)
     xi = xs.astype(jnp.int32)
     ang = jnp.arctan2(m01[yi, xi], m10[yi, xi])
-    in_bounds = (xi >= r) & (xi < W - r) & (yi >= r) & (yi < H - r)
+    x0, y0, x1, y1 = (0, 0, W, H) if rect is None else rect
+    in_bounds = (
+        (xi >= x0 + r) & (xi < x1 - r) & (yi >= y0 + r) & (yi < y1 - r)
+    )
     return jnp.where(in_bounds, ang, 0.0)
