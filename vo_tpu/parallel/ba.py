@@ -16,7 +16,7 @@ import functools
 
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ba.schur import BAConfig, BAResult, bundle_adjust
 
@@ -49,7 +49,7 @@ def sharded_bundle_adjust(
         out_specs=BAResult(
             poses=rep, points=lm, cost0=rep, cost=rep, n_obs=rep
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(poses, points, obs, obs_mask, point_mask, K)
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.hamming import Matches, hamming_table, knn2_ratio_match, l2_table
 
@@ -56,7 +56,7 @@ def sharded_match_descriptors(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=Matches(idx=spec, dist=spec, valid=spec),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(bits1, valid1, bits2, valid2)
 

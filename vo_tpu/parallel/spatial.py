@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _exchange_halo(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
@@ -80,7 +80,7 @@ def sharded_stencil(
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
 
 

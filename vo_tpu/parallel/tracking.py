@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.lk import (
     LKCache,
@@ -66,7 +66,7 @@ def sharded_lk_track(
         mesh=mesh,
         in_specs=(cache_spec, tuple(rep for _ in pyr2), kp, kp),
         out_specs=(kp, kp, cache_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(cache, tuple(pyr2), pts, valid)
 
@@ -92,7 +92,7 @@ def sharded_lk_make_cache(
         mesh=mesh,
         in_specs=(tuple(rep for _ in pyr), kp),
         out_specs=cache_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(tuple(pyr), pts)
 
