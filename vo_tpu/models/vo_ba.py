@@ -255,11 +255,17 @@ def _ba_step(
     return new_state, out
 
 
-def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False):
+def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False,
+              on_frame=None):
     """Host loop with the reference's est-path rewrite on BA frames
     (with_bundle_adjustment.cpp:237-247). Dispatch-only loop + deferred
-    consumption (see run_vo's latency note)."""
-    from .vo import _start_host_copy
+    consumption (see run_vo's latency note).
+
+    `on_frame(i, frame_out)` is the live-view hook (see run_vo): called
+    during the run for arrived outputs with the per-frame FrameOutput.
+    Window rewrites are NOT replayed into the hook — the live canvas
+    shows the online estimate, the saved bundle the refined one."""
+    from .vo import _out_ready, _start_host_copy
 
     gt_poses = seq.poses
     state = pipeline.init(seq.frame(0))
@@ -269,10 +275,15 @@ def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False):
     Wn = pipeline.wcfg.window_size
 
     outs = []
+    consumed = 0
     for i in range(1, len(seq)):
         state, out = pipeline.step(state, seq.frame(i))
         _start_host_copy(out)
         outs.append(out)
+        if on_frame is not None:
+            while consumed < len(outs) and _out_ready(outs[consumed]):
+                on_frame(consumed + 1, outs[consumed].frame)
+                consumed += 1
 
     for i, out in enumerate(outs, start=1):
         pose = np.asarray(out.frame.pose)

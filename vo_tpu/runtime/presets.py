@@ -36,9 +36,9 @@ class Preset:
 
     def run(self, seq, pipeline, verbose=False, on_frame=None):
         if self.window is not None:
-            # (live view hook not plumbed through the BA runner — its
-            # window-rewrite semantics redraw past frames)
-            return run_vo_ba(seq, pipeline, verbose=verbose)
+            return run_vo_ba(
+                seq, pipeline, verbose=verbose, on_frame=on_frame
+            )
         return run_vo(seq, pipeline, verbose=verbose, on_frame=on_frame)
 
 
