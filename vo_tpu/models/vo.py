@@ -65,6 +65,20 @@ class VOConfig(NamedTuple):
     # "unmatched": compaction-order pairing of independent clouds — the
     # matching drivers' truncation semantics (feature_matching.cpp:251-263).
     scale_mode: str = "matched"
+    # Scale chaining. The reference caches the RAW unit-baseline cloud
+    # (feature_tracking.cpp:271-281 — points_3d is stored before any
+    # rescale), so its get_scale returns the baseline RATIO b_k/b_{k-1}
+    # and uses it as the absolute step length: steps never telescope to
+    # a consistent unit (per-step scale oscillates 0.23-2.9 on a
+    # constant-ish-speed sequence). "rescaled" caches s_k * X_k so the
+    # ratio telescopes to b_k/b_1. MEASURED OUTCOME: "reference" wins —
+    # raw-cloud chaining is self-correcting (noise in cloud k inflates
+    # s_k but deflates s_{k+1}), while rescaling compounds one bad
+    # estimate into every later frame (after a re-detect garbles the
+    # index pairing, the cached cloud inherits the bad scale and the
+    # chain death-spirals to the 0.1 clip floor: ATE 10.5 vs 4.2 on the
+    # 24-frame gate sequence). Kept as a knob for the record.
+    scale_chain: str = "reference"
     # Frontend: "orb" (Hamming bits) or "sift" (L2 float descriptors) —
     # the reference's two detector families (feature_matching.cpp:27-33).
     detector: str = "orb"
@@ -169,6 +183,9 @@ def _pose_scale_chain(
     T = make_se3(R, s * t)
     new_pose = jnp.where(enough, pose @ inv_se3(T), pose)
     s = jnp.where(enough, s, 1.0)
+    # Cache the cloud for the next frame's ratio (see VOConfig.scale_chain)
+    if cfg.scale_chain == "rescaled":
+        X = s[..., None] * X
     return new_pose, X, cur_valid & enough, s, n_inl
 
 
