@@ -210,3 +210,34 @@ class TestShardedLK:
         np.testing.assert_array_equal(np.asarray(st_d), np.asarray(st_s))
         for a, b in zip(cache2_d.wins, cache2_s.wins):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFusedShardedStep:
+    """Whole-pipeline GSPMD step (parallel/vo_step.py): the FULL tracking
+    step jitted over the mesh with keypoint-axis shardings, parity-bounded
+    against the single-device step (SURVEY §2e / VERDICT r2 item 5)."""
+
+    def test_fused_tracking_step_parity(self):
+        from vo_tpu.data.synthetic import SyntheticSequence
+        from vo_tpu.frontend.orb import OrbConfig
+        from vo_tpu.models.vo import TrackingVO, VOConfig
+        from vo_tpu.parallel.mesh import make_mesh
+        from vo_tpu.parallel.vo_step import parity_vs_single_device
+
+        seq = SyntheticSequence.generate(n_frames=3, shape=(240, 320))
+        cfg = VOConfig(
+            orb=OrbConfig(nfeatures=512, n_levels=3), ransac_iters=128
+        )
+        vo = TrackingVO(seq.K, cfg)
+        state = vo.init(seq.frame(0))
+        state, _ = vo.step(state, seq.frame(1))  # populate prev3d
+        mesh = make_mesh(8, axis="kp")
+        res = parity_vs_single_device(
+            mesh, cfg, state,
+            jnp.asarray(seq.frame(2), jnp.float32),
+            jnp.asarray(seq.K, jnp.float32),
+        )
+        # raises on tolerance breach; also pin the strongest observed
+        # invariants: identical association and inlier counts
+        assert res["n_assoc_delta"] == 0
+        assert res["n_inlier_delta"] == 0
