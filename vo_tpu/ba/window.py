@@ -121,9 +121,13 @@ def triangulate_window(
     A = jnp.stack([r1, r2], axis=2)  # (W, L, 2, 4)
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     A = A * valid[..., None, None]
-    AtA = jnp.einsum("wlri,wlrj->lij", A, A)  # (L, 4, 4)
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., 0]  # smallest-eigenvalue eigenvector
+    # smallest right-singular vector per landmark via batched one-sided
+    # Jacobi (geometry/linalg3.py): pure VPU arithmetic, no eigh custom
+    # call, and no A^T A squaring of the condition number
+    from ..geometry.linalg3 import nullspace_jacobi
+
+    rows = jnp.transpose(A, (1, 0, 2, 3)).reshape(A.shape[1], -1, 4)
+    X = nullspace_jacobi(rows)  # (L, 4)
     w = X[..., 3:]
     return X[..., :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
 

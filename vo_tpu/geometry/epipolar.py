@@ -46,17 +46,21 @@ def _epipolar_rows(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
 
 def _nullspace(A: jnp.ndarray) -> jnp.ndarray:
     """(..., m, 9) -> (..., 9) right-singular vector of smallest singular
-    value. QR-reduce first (R is (..., 9, 9) for m >= 9, (..., m, 9) else)
-    so the SVD runs on a tiny matrix; direct SVD avoids the squared
-    conditioning of eigh(A^T A) — ~100x more accurate in fp32."""
-    R = jnp.linalg.qr(A, mode="r")
-    _, _, Vt = jnp.linalg.svd(R, full_matrices=True)
-    return Vt[..., -1, :]
+    value, via batched one-sided Jacobi (linalg3.nullspace_jacobi): pure
+    VPU arithmetic across all RANSAC hypotheses at once, replacing the
+    serialized QR+SVD custom calls. Works on A directly, so it keeps
+    direct-SVD conditioning (the old eigh(A^T A) was ~100x less accurate
+    in fp32; Jacobi measures within ~3x of LAPACK SVD residuals)."""
+    from .linalg3 import nullspace_jacobi
+
+    return nullspace_jacobi(A)
 
 
 def project_to_essential(F: jnp.ndarray) -> jnp.ndarray:
     """Project (..., 3, 3) onto the essential manifold: sv -> (1, 1, 0)."""
-    U, s, Vt = jnp.linalg.svd(F)
+    from .linalg3 import svd3x3
+
+    U, s, Vt = svd3x3(F)
     d = jnp.asarray([1.0, 1.0, 0.0], F.dtype)
     return (U * d[..., None, :]) @ Vt
 
@@ -222,9 +226,10 @@ def recover_pose(
     the default is effectively unbounded — a hard 50x gate (OpenCV's
     default distanceThresh) disenfranchises most voters in far-field
     scenes and can flip the decomposition choice."""
+    from .linalg3 import svd3x3
     from .triangulate import triangulate_depths
 
-    U, s, Vt = jnp.linalg.svd(E)
+    U, s, Vt = svd3x3(E)
     # force proper rotations
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
