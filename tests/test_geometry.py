@@ -206,3 +206,47 @@ def test_relative_scale_unmatched(rng):
     v2 = np.ones(60, bool)
     out = float(relative_scale_unmatched(pts, v1, pts * 0.5, v2))
     assert out == pytest.approx(2.0, rel=1e-3)
+
+
+class TestLinalg3ClosedForm:
+    """Closed-form small-matrix solvers (geometry/linalg3.py) vs LAPACK."""
+
+    def test_eigh3x3_random_symmetric(self, rng):
+        X = rng.normal(size=(500, 3, 3)).astype(np.float32)
+        S = X @ X.transpose(0, 2, 1)
+        w, V = jax.jit(__import__(
+            "vo_tpu.geometry.linalg3", fromlist=["eigh3x3"]).eigh3x3)(S)
+        wr = np.linalg.eigvalsh(S)
+        scale = np.abs(wr).max()
+        assert np.abs(np.asarray(w) - wr).max() / scale < 1e-5
+        R = np.einsum("bij,bj,bkj->bik", np.asarray(V), np.asarray(w),
+                      np.asarray(V))
+        assert np.abs(R - S).max() / scale < 1e-5
+        orth = np.einsum("bij,bik->bjk", np.asarray(V), np.asarray(V))
+        assert np.abs(orth - np.eye(3)).max() < 1e-5
+
+    def test_svd3x3_essential_manifold(self, rng):
+        from vo_tpu.geometry.linalg3 import svd3x3
+
+        A = rng.normal(size=(500, 3, 3)).astype(np.float32)
+        U0, _, Vt0 = np.linalg.svd(A)
+        E = U0 @ np.diag([1.0, 1.0, 0.0]).astype(np.float32) @ Vt0
+        U, s, Vt = jax.jit(svd3x3)(E)
+        assert np.abs(np.asarray(s) - np.array([1, 1, 0])).max() < 2e-3
+        rec = np.einsum("bij,bj,bjk->bik", np.asarray(U), np.asarray(s),
+                        np.asarray(Vt))
+        assert np.abs(rec - E).max() < 2e-3
+        for M in (U, np.swapaxes(np.asarray(Vt), 1, 2)):
+            orth = np.einsum("bij,bik->bjk", np.asarray(M), np.asarray(M))
+            assert np.abs(orth - np.eye(3)).max() < 1e-5
+
+    def test_nullspace_jacobi_vs_svd(self, rng):
+        from vo_tpu.geometry.linalg3 import nullspace_jacobi
+
+        # minimal-sample shape and the tall weighted refit shape
+        for shape in ((256, 8, 9), (4, 1500, 9)):
+            A = rng.normal(size=shape).astype(np.float32)
+            v = jax.jit(nullspace_jacobi)(A)
+            _, _, Vt = np.linalg.svd(A)
+            dot = np.abs(np.sum(np.asarray(v) * Vt[..., -1, :], -1))
+            assert dot.min() > 1 - 1e-5, shape
