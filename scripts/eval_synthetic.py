@@ -56,8 +56,15 @@ def seed_dir(out: str, seed: int) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
-    ap.add_argument("--out", default="results_tpu")
+    ap.add_argument("--out", default=None,
+                    help="default: results_tpu / results_tpu_clean")
     ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument(
+        "--sequence", choices=("hard", "clean"), default="hard",
+        help="hard = turns + texture dropouts; clean = same trajectory "
+        "without dropouts (the KITTI-like regime — the apples-to-apples "
+        "setting for the reference's BA headline)",
+    )
     ap.add_argument("--presets", default=",".join(PRESETS))
     ap.add_argument("--skip-cv2", action="store_true")
     ap.add_argument("--skip-tpu", action="store_true")
@@ -67,6 +74,10 @@ def main():
     )
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
+    if args.out is None:
+        args.out = (
+            "results_tpu" if args.sequence == "hard" else "results_tpu_clean"
+        )
 
     import vo_tpu  # noqa: F401
     from vo_tpu.data.synthetic import SyntheticSequence
@@ -74,10 +85,13 @@ def main():
     from vo_tpu.utils.io import save_results
     from vo_tpu.utils.metrics import evaluate_paths
 
+    gen = (
+        SyntheticSequence.generate_hard
+        if args.sequence == "hard"
+        else SyntheticSequence.generate_clean
+    )
     for seed in seeds:
-        seq = SyntheticSequence.generate_hard(
-            n_frames=args.frames, seed=seed
-        )
+        seq = gen(n_frames=args.frames, seed=seed)
         base = seed_dir(args.out, seed)
 
         def record(name, est, gt, scales):
@@ -135,9 +149,13 @@ def main():
                 )
                 record(name, est, gt, scales)
 
-    # ---- RESULTS.md reflects EVERY bundle on disk (cv2 anchors first),
+    # ---- results doc reflects EVERY bundle on disk (cv2 anchors first),
     # aggregated across all seeds present — partial re-runs merge cleanly.
-    write_results_md(args.out, args.frames)
+    write_results_md(
+        args.out, args.frames,
+        doc="RESULTS.md" if args.sequence == "hard" else "RESULTS_CLEAN.md",
+        sequence=args.sequence,
+    )
 
 
 def collect(out: str):
@@ -161,7 +179,8 @@ def collect(out: str):
     return per
 
 
-def write_results_md(out: str, n_frames: int, path_len: float | None = None):
+def write_results_md(out: str, n_frames: int, doc: str = "RESULTS.md",
+                     sequence: str = "hard"):
     per = collect(out)
     names = [n for n in CV2_NAMES + PRESETS if n in per]
     names += sorted(set(per) - set(names))
@@ -170,17 +189,25 @@ def write_results_md(out: str, n_frames: int, path_len: float | None = None):
         vals = [r[key] for r in per[name].values() if r.get(key) is not None]
         return (float(np.median(vals)), vals) if vals else (float("nan"), [])
 
-    with open("RESULTS.md", "w") as f:
+    seq_desc = (
+        "SyntheticSequence.generate_hard: sharp turns, 3 texture-poor "
+        "stretches. Single-seed ATE on this sequence is chaotic (dropout "
+        "stretches fork trajectories)"
+        if sequence == "hard"
+        else "SyntheticSequence.generate_clean: the same turning "
+        "trajectory WITHOUT texture dropouts — the KITTI-like regime "
+        "where trajectory error is accumulated drift (the reference's "
+        "own eval conditions; seq 05 has no featureless stretches)"
+    )
+    with open(doc, "w") as f:
         f.write(
-            "# Trajectory evidence — hard synthetic sequence "
+            f"# Trajectory evidence — {sequence} synthetic sequence "
             f"({n_frames} frames/seed, ~1 m/frame path)\n\n"
             "KITTI seq 05 is not available in this environment; this is "
             "the proxy eval: all configs (TPU presets and the cv2 "
             "re-implementation of the reference pipelines — "
             "scripts/cv2_ref_vo.py) run on the SAME frames per seed "
-            "(SyntheticSequence.generate_hard: sharp turns, 3 "
-            "texture-poor stretches). Single-seed ATE on this sequence "
-            "is chaotic (dropout stretches fork trajectories), so every "
+            f"({seq_desc}), so every "
             "number is the MEDIAN over the seeds listed, with per-seed "
             "values shown. Result bundles in "
             f"`{out}/<config>/` (seed 0) and `{out}/seed<S>/<config>/`.\n\n"
@@ -233,7 +260,7 @@ def write_results_md(out: str, n_frames: int, path_len: float | None = None):
             "stable cross-seed signal; per-pair parity bounds live in "
             "tests/test_cv2_parity.py.\n"
         )
-    print("wrote RESULTS.md", flush=True)
+    print(f"wrote {doc}", flush=True)
 
 
 if __name__ == "__main__":

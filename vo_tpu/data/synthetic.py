@@ -177,6 +177,24 @@ class SyntheticSequence:
         )
 
     @classmethod
+    def generate_clean(
+        cls, n_frames: int = 1000, shape: tuple[int, int] = (240, 320),
+        seed: int = 0,
+    ) -> "SyntheticSequence":
+        """generate_hard WITHOUT the texture dropouts: the KITTI-like
+        regime (seq 05 has no near-featureless stretches). This is the
+        apples-to-apples setting for the reference's BA headline
+        (99.49 -> 34.69 m on seq 05, BASELINE.md): on it, trajectory
+        error is accumulated drift — BA-correctable — rather than the
+        chaotic heading forks the dropout stretches inject (which no
+        5-frame window can repair: the window's own observations are
+        the garbage)."""
+        return cls.generate(  # same trajectory/world as generate_hard
+            n_frames=n_frames, shape=shape, n_points=4000, speed=1.0,
+            seed=seed, yaw_amplitude=0.3, n_turns=4.0,
+        )
+
+    @classmethod
     def generate_hard(
         cls, n_frames: int = 1000, shape: tuple[int, int] = (240, 320),
         seed: int = 0,
