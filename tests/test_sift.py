@@ -85,6 +85,49 @@ class TestSiftDetect:
         norms = np.linalg.norm(np.asarray(f1.desc)[v], axis=1)
         np.testing.assert_allclose(norms, 512.0, rtol=1e-3)
 
+    def test_canvas_matches_per_octave(self):
+        """The canvas-packed detection path (SiftConfig.canvas — one
+        extrema/refine/ori/desc pass over all octaves packed into one
+        gutters-separated canvas) must agree with the per-octave path on
+        keypoint locations and descriptors. Exact order may differ (the
+        canvas path compacts secondary peaks globally), so compare as
+        sets via nearest-neighbour pairing."""
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+        from vo_tpu.ops.conv import gaussian_blur
+
+        img = np.asarray(gaussian_blur(jnp.asarray(img), 5, 1.2))
+        cfg_kw = dict(nfeatures=48, upsample=False, max_image_octaves=3)
+        fa = sift_detect_and_compute(
+            jnp.asarray(img), SiftConfig(canvas=True, **cfg_kw)
+        )
+        fb = sift_detect_and_compute(
+            jnp.asarray(img), SiftConfig(canvas=False, **cfg_kw)
+        )
+        va, vb = np.asarray(fa.valid), np.asarray(fb.valid)
+        assert abs(int(va.sum()) - int(vb.sum())) <= 2, (va.sum(), vb.sum())
+        pa = np.stack([np.asarray(fa.xs)[va], np.asarray(fa.ys)[va]], -1)
+        pb = np.stack([np.asarray(fb.xs)[vb], np.asarray(fb.ys)[vb]], -1)
+        da = np.asarray(fa.desc)[va]
+        db = np.asarray(fb.desc)[vb]
+        # every canvas keypoint has a per-octave twin at the same spot
+        # with (near-)identical descriptor. Dual-orientation keypoints
+        # put TWO entries at one location (ordering differs between the
+        # paths), so pair by location THEN take the best descriptor
+        # match among the co-located candidates.
+        dist = np.linalg.norm(pa[:, None] - pb[None], axis=-1)
+        frac_loc = (dist.min(axis=1) < 0.25).mean()
+        assert frac_loc > 0.9, frac_loc
+        dd = np.linalg.norm(da[:, None] - db[None], axis=-1)
+        dd_min = np.where(dist < 0.25, dd, np.inf).min(axis=1)
+        near = dist.min(axis=1) < 0.25
+        # The bound is 0.75, not 1.0: on a noise image many keypoints
+        # have two near-tied orientation peaks, and the two paths keep
+        # different secondary-copy SETS (global vs per-octave cap), so a
+        # canvas secondary copy can lack a twin. Absolute correctness of
+        # the default path is covered by tests/test_cv2_parity.py.
+        assert (dd_min[near] < 0.05 * 512).mean() >= 0.75, dd_min[near]
+
     def test_rotation_changes_angle_not_descriptor(self):
         """A corner-like pattern rotated 90 deg must match its own
         descriptor (rotation invariance via orientation assignment)."""

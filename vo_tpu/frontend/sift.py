@@ -60,6 +60,16 @@ class SiftConfig(NamedTuple):
     # matched inliers)
     ori_grid: int = 13
     desc_grid: int = 16  # descriptor sampling grid (per axis)
+    # Canvas packing (ops/canvas.py): octaves share the layer count and
+    # per-layer blur sigmas, so after the (inherently sequential)
+    # cross-octave blur chain, every downstream dense stage — DoG,
+    # extrema mask, gradient maps, refine gathers, orientation and
+    # descriptor sampling — runs ONCE over all octaves packed into one
+    # gutters-separated canvas instead of once per octave (the ~8x
+    # per-octave dispatch tail the round-2 profile showed). Per-octave
+    # border rules apply via interior masks and per-candidate octave
+    # rectangles. False keeps the per-octave path for comparison.
+    canvas: bool = True
 
 
 class SiftFeatures(NamedTuple):
@@ -166,15 +176,20 @@ def _refine_once(dog: jnp.ndarray, ls, ys, xs):
 _REFINE_STEPS = 4  # OpenCV SIFT_MAX_INTERP_STEPS = 5; 4 recovers ~all
 
 
-def _refine(dog: jnp.ndarray, ls, ys, xs, border: int):
+def _refine(dog: jnp.ndarray, ls, ys, xs, border: int, rect=None):
     """Iterative subpixel refinement (OpenCV adjustLocalExtrema semantics:
     Newton step; while any |offset| > 0.5, re-localize to the rounded
     neighboring sample and repeat, up to _REFINE_STEPS). Candidates still
     unconverged after the last step are rejected.
 
+    `rect` (optional) = per-candidate (x0, y0, x1, y1) octave bounds for
+    canvas-packed scale spaces (ops/canvas.py): re-localization clips
+    against the candidate's octave rectangle, not the image edge.
+
     Returns (ls, ys, xs updated ints, off (N,3) clamped, contr, converged,
     tr, det)."""
     L_total, Hn, Wn = dog.shape
+    x0, y0, x1, y1 = (0, 0, Wn, Hn) if rect is None else rect
     off = contr = tr = det = None
     for it in range(_REFINE_STEPS):
         off, contr, tr, det = _refine_once(dog, ls, ys, xs)
@@ -183,10 +198,10 @@ def _refine(dog: jnp.ndarray, ls, ys, xs, border: int):
         move = jnp.any(jnp.abs(off) >= 0.5, axis=-1)
         step = jnp.round(off).astype(jnp.int32)
         xs = jnp.where(
-            move, jnp.clip(xs + step[:, 0], border, Wn - 1 - border), xs
+            move, jnp.clip(xs + step[:, 0], x0 + border, x1 - 1 - border), xs
         )
         ys = jnp.where(
-            move, jnp.clip(ys + step[:, 1], border, Hn - 1 - border), ys
+            move, jnp.clip(ys + step[:, 1], y0 + border, y1 - 1 - border), ys
         )
         ls = jnp.where(move, jnp.clip(ls + step[:, 2], 1, L_total - 2), ls)
     converged = jnp.all(jnp.abs(off) < 0.5, axis=-1)
@@ -226,7 +241,7 @@ def _grad_maps(g: jnp.ndarray):
     return gx, gy
 
 
-def _sample_grad(gx, gy, ls, ys, xs):
+def _sample_grad(gx, gy, ls, ys, xs, rect=None):
     """Bilinear gradient samples from per-layer maps at float positions;
     nearest in layer. gx/gy: (L, H, W); ls int (N, S); ys/xs float (N, S).
 
@@ -236,17 +251,26 @@ def _sample_grad(gx, gy, ls, ys, xs):
     the sample grid to the nearest pixel matches its character while
     costing 1 gather instead of 4 bilinear corners. (An earlier
     loop-over-layers bilinear form did 4 x L x this work and dominated
-    SIFT's runtime.)"""
+    SIFT's runtime.)
+
+    `rect` (optional) = per-keypoint (x0, y0, x1, y1) octave bounds for
+    canvas-packed maps: samples clamp to the keypoint's octave (the
+    edge-clamp the standalone image applies at its own border)."""
     L, H, W = gx.shape
+    if rect is None:
+        bx0, by0, bx1, by1 = 0, 0, W, H
+    else:
+        bx0, by0, bx1, by1 = (jnp.asarray(b)[:, None] for b in rect)
     gxf = gx.reshape(L * H, W)
     gyf = gy.reshape(L * H, W)
-    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
-    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), by0, by1 - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), bx0, bx1 - 1)
     rows = jnp.clip(ls, 0, L - 1) * H + yi
     return gxf[rows, xi], gyf[rows, xi]
 
 
-def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
+def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig,
+                  rect=None):
     """Dominant gradient orientation per keypoint (radians)."""
     S = cfg.ori_grid
     u = jnp.linspace(-4.5, 4.5, S, dtype=jnp.float32)
@@ -255,7 +279,7 @@ def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
 
     px = xs[:, None] + uu[None] * sig[:, None]
     py = ys[:, None] + vv[None] * sig[:, None]
-    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px)
+    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # (-pi, pi]
     r2 = (uu * uu + vv * vv)[None]
@@ -303,7 +327,8 @@ def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig):
     return ang1, ang2, has2
 
 
-def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig):
+def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig,
+                 rect=None):
     """(N, 128) Lowe descriptors via dense trilinear einsum binning."""
     D = 4  # spatial bins per axis
     S = cfg.desc_grid
@@ -319,7 +344,7 @@ def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig):
     dy = (st[:, None] * uu[None] + ct[:, None] * vv[None]) * hist_w[:, None]
     px, py = xs[:, None] + dx, ys[:, None] + dy
 
-    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px)
+    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx) - theta[:, None]
 
@@ -425,6 +450,105 @@ def _detect_octave(dog, gauss, budget: int, o: int, cfg: SiftConfig):
     )
 
 
+def _detect_canvas(dogs, gauss, budgets, cfg: SiftConfig):
+    """Canvas-packed detection (see SiftConfig.canvas): one extrema mask,
+    one refine pass, one gradient-map build, one orientation/descriptor
+    pass over ALL octaves. Returns the same concatenated 7-tuple the
+    per-octave path produces."""
+    from ..ops.canvas import interior_mask, pack_canvas
+    from ..ops.nms import blocked_topk_2d
+
+    n_layers = cfg.n_layers
+    shapes = tuple(tuple(d.shape[-2:]) for d in dogs)
+    apron = 4
+    cg, origins = pack_canvas(list(gauss), apron)  # (L+3, Hc, Wc)
+    cd, _ = pack_canvas(list(dogs), apron)  # (L+2, Hc, Wc)
+    Hc, Wc = cd.shape[-2:]
+
+    prefilter = 0.5 * cfg.contrast_threshold / n_layers * 255.0
+    ext = _extrema_mask(cd, prefilter)  # (L, Hc, Wc)
+    border = 5
+    inb = interior_mask((Hc, Wc), shapes, origins, border=border) > 0
+    resp = jnp.where(ext & inb[None], jnp.abs(cd[1:-1]), 0.0)
+
+    # Per octave: slice the masked response, top-(budget) candidates.
+    c_ys, c_xs, c_ls, c_top = [], [], [], []
+    rect_np, oct_np = [], []
+    for o, ((Hl, Wl), (oy, ox), budget) in enumerate(
+        zip(shapes, origins, budgets)
+    ):
+        sub = lax.slice(resp, (0, oy, ox), (resp.shape[0], oy + Hl, ox + Wl))
+        top, ys_l, xs_l, lb = blocked_topk_2d(sub, budget)
+        c_ys.append(ys_l + oy)
+        c_xs.append(xs_l + ox)
+        c_ls.append(lb + 1)  # layer in 1..L
+        c_top.append(top)
+        rect_np.append(
+            np.broadcast_to(
+                np.array([ox, oy, ox + Wl, oy + Hl], np.int32), (budget, 4)
+            )
+        )
+        oct_np.append(np.full(budget, o, np.int32))
+
+    ys = jnp.concatenate(c_ys)
+    xs = jnp.concatenate(c_xs)
+    ls = jnp.concatenate(c_ls)
+    sel_valid = jnp.concatenate(c_top) > 0.0
+    rect_all = np.concatenate(rect_np, axis=0)
+    rect = tuple(jnp.asarray(rect_all[:, i]) for i in range(4))
+    oct_idx = np.concatenate(oct_np)
+
+    ls, ys, xs, off, contr, converged, tr, det = _refine(
+        cd, ls, ys, xs, border, rect=rect
+    )
+    contrast_ok = (
+        jnp.abs(contr) * n_layers >= cfg.contrast_threshold * 255.0
+    )
+    r = cfg.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) * (r + 1) * det)
+    ok = sel_valid & converged & contrast_ok & edge_ok
+
+    fx = xs.astype(jnp.float32) + off[:, 0]
+    fy = ys.astype(jnp.float32) + off[:, 1]
+    fl = ls.astype(jnp.float32) + off[:, 2]
+    sig_local = cfg.sigma * (2.0 ** (fl / n_layers))
+
+    gx, gy = _grad_maps(cg)
+    ang1, ang2, has2 = _orientations(
+        gx, gy, ls, fy, fx, sig_local, ok, cfg, rect=rect
+    )
+    # Secondary-peak duplication, compacted GLOBALLY across octaves (the
+    # per-octave path compacts per octave; a single global top-k is the
+    # same semantics with one pass)
+    sec_cap = max(16, sum(budgets) // 2)
+    sec_score = jnp.where(ok & has2, jnp.abs(contr), -jnp.inf)
+    top2, idx2 = lax.top_k(sec_score, sec_cap)
+    sec_ok = top2 > -jnp.inf
+    two = lambda a: jnp.concatenate([a, a[idx2]], axis=0)
+    rect2 = tuple(two(b) for b in rect)
+    ang = jnp.concatenate([ang1, ang2[idx2]], axis=0)
+    ok2 = jnp.concatenate([ok, sec_ok], axis=0)
+    desc = _descriptors(
+        gx, gy, two(ls), two(fy), two(fx), two(sig_local), ang, cfg,
+        rect=rect2,
+    )
+
+    oct_scale_np = (0.5 if cfg.upsample else 1.0) * (2.0 ** oct_idx)
+    oct_scale = two(jnp.asarray(oct_scale_np, jnp.float32))
+    ox_pc = two(jnp.asarray(rect_all[:, 0], jnp.float32))
+    oy_pc = two(jnp.asarray(rect_all[:, 1], jnp.float32))
+    size = two(sig_local) * oct_scale * 2.0
+    return (
+        (two(fx) - ox_pc) * oct_scale,
+        (two(fy) - oy_pc) * oct_scale,
+        size,
+        two(jnp.abs(contr)),
+        ang,
+        desc,
+        ok2,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def sift_detect_and_compute(
     img: jnp.ndarray, config: SiftConfig = SiftConfig()
@@ -442,12 +566,20 @@ def sift_detect_and_compute(
         upsample=config.upsample,
     )
 
-    outs = []
-    for o in range(n_oct):
-        outs.append(_detect_octave(dogs[o], gauss[o], budgets[o], o, config))
-
-    cat = lambda i: jnp.concatenate([out[i] for out in outs], axis=0)
-    xs, ys, sizes, scores, angles, desc, valid = (cat(i) for i in range(7))
+    if config.canvas:
+        xs, ys, sizes, scores, angles, desc, valid = _detect_canvas(
+            dogs, gauss, budgets, config
+        )
+    else:
+        outs = []
+        for o in range(n_oct):
+            outs.append(
+                _detect_octave(dogs[o], gauss[o], budgets[o], o, config)
+            )
+        cat = lambda i: jnp.concatenate([out[i] for out in outs], axis=0)
+        xs, ys, sizes, scores, angles, desc, valid = (
+            cat(i) for i in range(7)
+        )
 
     # Global top-nfeatures by response (OpenCV retainBest).
     masked = jnp.where(valid, scores, -1.0)

@@ -72,17 +72,23 @@ def plan_canvas(
 
 
 def pack_canvas(pyr, apron: int = 4):
-    """Pack pyramid levels (list of (H, W) arrays) into one canvas.
+    """Pack pyramid levels (list of (..., H, W) arrays with identical
+    leading dims) into one canvas.
 
-    Returns (canvas (Hc, Wc), origins) with each level surrounded by an
-    `apron` of its own reflect-101 border pixels (zeros elsewhere)."""
-    shapes = tuple(tuple(im.shape) for im in pyr)
+    Returns (canvas (..., Hc, Wc), origins) with each level surrounded
+    by an `apron` of its own reflect-101 border pixels (zeros
+    elsewhere). Leading dims (e.g. a SIFT layer stack) are packed in one
+    dynamic_update_slice per level."""
+    shapes = tuple(tuple(im.shape[-2:]) for im in pyr)
     Hc, Wc, origins = plan_canvas(shapes, apron)
-    canvas = jnp.zeros((Hc, Wc), pyr[0].dtype)
+    lead = tuple(pyr[0].shape[:-2])
+    canvas = jnp.zeros(lead + (Hc, Wc), pyr[0].dtype)
+    zero_lead = (0,) * len(lead)
     for im, (oy, ox) in zip(pyr, origins):
         block = reflect_pad(im, apron)
         canvas = lax.dynamic_update_slice(
-            canvas, block.astype(canvas.dtype), (oy - apron, ox - apron)
+            canvas, block.astype(canvas.dtype),
+            zero_lead + (oy - apron, ox - apron),
         )
     return canvas, origins
 
