@@ -72,7 +72,19 @@ def main():
         "--force", action="store_true",
         help="re-run configs whose result bundle already exists",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="run the presets on host CPU (the axon tunnel has outage "
+        "windows; results are platform-independent up to float "
+        "reduction order)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        # The axon sitecustomize overrides jax_platforms in-process, so
+        # the env var alone is not enough (see tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
     seeds = [int(s) for s in args.seeds.split(",")]
     if args.out is None:
         args.out = (
