@@ -152,9 +152,43 @@ def bench_preset(name: str, frames, K, coarse_n: int = 0) -> dict:
     return _result(name, fps, baseline)
 
 
+def _probe_devices(timeout_s: float = 420.0):
+    """Fail FAST (exit 3) when the device backend is unreachable.
+
+    The axon tunnel has outage windows during which jax.devices() HANGS
+    (no error) — without this guard the driver's bench burns its whole
+    budget in a silent remote-init wait and records nothing (the round-2
+    rc=124 failure mode). A daemon thread probes the backend; if it
+    doesn't come back within `timeout_s` we print a diagnostic and exit
+    immediately so the failure is attributable."""
+    import threading
+
+    got: list = []
+
+    def probe():
+        import jax
+
+        got.append(jax.devices())
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    deadline = time.perf_counter() + timeout_s
+    while time.perf_counter() < deadline and not got:
+        th.join(min(60.0, max(1.0, deadline - time.perf_counter())))
+        if not got and time.perf_counter() < deadline:
+            _log("jax.devices() still unresponsive; retrying "
+                 f"({deadline - time.perf_counter():.0f}s left)")
+    if not got:
+        _log(f"FATAL: jax.devices() unresponsive after {timeout_s:.0f}s "
+             "(device tunnel down?) — aborting instead of hanging")
+        sys.exit(3)
+    _log(f"devices: {got[0]}")
+
+
 def main():
     import vo_tpu  # noqa: F401 — matmul precision + compile cache
 
+    _probe_devices()
     run_all = "--all" in sys.argv[1:]
     synthetic = "--synthetic" in sys.argv[1:]
     names = list(BASELINES) if run_all else ["tracking_orb"]

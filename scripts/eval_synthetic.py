@@ -160,6 +160,23 @@ def main():
                     flush=True,
                 )
                 record(name, est, gt, scales)
+                if n_ba:
+                    # per-window cost/acceptance log (VERDICT r2 item 2)
+                    log = [
+                        {
+                            "frame": i,
+                            "cost0": s["ba_cost0"],
+                            "cost": s["ba_cost"],
+                            "landmarks": s["ba_landmarks"],
+                            "accepted": s["ba_accepted"],
+                        }
+                        for i, s in enumerate(stats)
+                        if s.get("ba_ran")
+                    ]
+                    p = os.path.join(seed_dir(args.out, seed), name,
+                                     "ba_log.json")
+                    with open(p, "w") as f:
+                        json.dump(log, f, indent=1)
 
     # ---- results doc reflects EVERY bundle on disk (cv2 anchors first),
     # aggregated across all seeds present — partial re-runs merge cleanly.

@@ -72,8 +72,11 @@ class LKConfig(NamedTuple):
     # window memory layout: "lanes" stores windows as (S+10, S+10, N)
     # with keypoints on the TPU lane dimension — every solver op is a
     # full-width VPU op (measured 2.8x over the batched tent-matmul
-    # sampling at level-0 geometry). "batch" keeps the (N, S, S) batched
-    # MXU form (useful for comparison and small-N CPU tests).
+    # sampling at level-0 geometry). "pallas" keeps the lanes storage but
+    # runs the whole per-level iteration loop as one fused kernel with
+    # the window stacks VMEM-resident (ops/lk_pallas.py) — the XLA lanes
+    # path re-streams the stacks from HBM every iteration. "batch" keeps
+    # the (N, S, S) batched MXU form (comparison / small-N CPU tests).
     layout: str = "lanes"
 
 
@@ -114,14 +117,14 @@ def _window_origins(c, S, Hl, Wl):
 def _to_layout(win_nss: jnp.ndarray, config: LKConfig) -> jnp.ndarray:
     """(N, S, S) crop -> storage layout (lanes stacks are pre-padded so
     the per-iteration sampler never pads)."""
-    if config.layout == "lanes":
+    if config.layout != "batch":
         return _pad_lanes(jnp.transpose(win_nss, (1, 2, 0)))
     return win_nss
 
 
 def _zero_win(N: int, config: LKConfig) -> jnp.ndarray:
     dt = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
-    if config.layout == "lanes":
+    if config.layout != "batch":
         return jnp.zeros((1, 1, N), dt)
     return jnp.zeros((N, 1, 1), dt)
 
@@ -368,6 +371,40 @@ def _refine_level(
         (q1[:, 0] < lo) | (q1[:, 0] > hi)
         | (q1[:, 1] < lo) | (q1[:, 1] > hi)
     )
+
+    def _finish(v, solvable):
+        c = p + v
+        inside = (
+            (c[:, 0] >= 0) & (c[:, 0] <= Wl - 1)
+            & (c[:, 1] >= 0) & (c[:, 1] <= Hl - 1)
+        )
+        # tmpl_out points were never refined here: their (garbage)
+        # template must not decide solvability — they pass through to
+        # finer levels.
+        okf = ok & jnp.where(tmpl_out, True, solvable) & inside
+        if full_margin:
+            # a point that ENDS outside its search window exceeded the
+            # level's search radius: divergent -> lost (skipped on levels
+            # too small to host the full margin, where the box
+            # degenerates)
+            q2f = c - origin2
+            ended_out = (
+                (q2f[:, 0] < lo) | (q2f[:, 0] > hi)
+                | (q2f[:, 1] < lo) | (q2f[:, 1] > hi)
+            )
+            okf = okf & (tmpl_out | ~ended_out)
+        return v, okf
+
+    if config.layout == "pallas":
+        # fused VMEM-resident iteration loop (ops/lk_pallas.py); storage
+        # layout identical to "lanes"
+        from .lk_pallas import refine_level_pallas
+
+        v, solvable = refine_level_pallas(
+            win1, win2, q1, p - origin2, flow, ok & ~tmpl_out, S, config
+        )
+        return _finish(v, solvable)
+
     lanes = config.layout == "lanes"
     if lanes:
         # windows are (S+10, S+10, N) zero-padded lanes stacks
@@ -443,25 +480,7 @@ def _refine_level(
         (flow, jnp.zeros((N,), bool), jnp.asarray(0, jnp.int32)),
     )
 
-    c = p + v
-    inside = (
-        (c[:, 0] >= 0) & (c[:, 0] <= Wl - 1)
-        & (c[:, 1] >= 0) & (c[:, 1] <= Hl - 1)
-    )
-    # tmpl_out points were never refined here: their (garbage) template
-    # must not decide solvability — they pass through to finer levels.
-    ok = ok & jnp.where(tmpl_out, True, solvable) & inside
-    if full_margin:
-        # a point that ENDS outside its search window exceeded the level's
-        # search radius: divergent -> lost (skipped on levels too small to
-        # host the full margin, where the box degenerates)
-        q2f = c - origin2
-        ended_out = (
-            (q2f[:, 0] < lo) | (q2f[:, 0] > hi)
-            | (q2f[:, 1] < lo) | (q2f[:, 1] > hi)
-        )
-        ok = ok & (tmpl_out | ~ended_out)
-    return v, ok
+    return _finish(v, solvable)
 
 
 def _track_over_levels(get_win1, pyr2, pts, valid, config: LKConfig):
