@@ -57,8 +57,19 @@ def collect(args):
     state = vo.init(seq.frame(0))
     W = wcfg.window_size
     rows = []
+    # per-frame capture: the tracks and the ONLINE chained poses — enough
+    # to replay any BA schedule offline (tracks are pose-independent;
+    # relative transforms are recovered from the online chain)
+    poses = [np.asarray(state.pose)]
+    pts = [np.asarray(state.pts)]
+    valid = [np.asarray(state.pts_valid)]
+    fallback = [False]
     for i in range(1, len(seq)):
         state, out = vo.step(state, seq.frame(i))
+        poses.append(np.asarray(out.frame.pose))
+        pts.append(np.asarray(state.pts))
+        valid.append(np.asarray(state.pts_valid))
+        fallback.append(bool(out.frame.fallback))
         if i >= W and i % 10 == 0:
             rows.append(
                 dict(
@@ -74,13 +85,18 @@ def collect(args):
         args.out,
         K=np.asarray(seq.K),
         n=len(rows),
+        frame_poses=np.asarray(poses),
+        frame_pts=np.asarray(pts),
+        frame_valid=np.asarray(valid),
+        frame_fallback=np.asarray(fallback),
+        gt_poses=np.asarray(seq.poses),
         **{
             f"{k}{j}": r[k]
             for j, r in enumerate(rows)
             for k in ("frame", "poses", "obs", "valid", "gt")
         },
     )
-    print(f"saved {len(rows)} windows -> {args.out}")
+    print(f"saved {len(rows)} windows + {len(poses)} frames -> {args.out}")
 
 
 def _rel_errors(poses, gt):
@@ -161,9 +177,90 @@ def analyze(args):
         )
 
 
+def replay(args):
+    """Replay BA schedules offline over one recorded tracking run.
+
+    Tracks are pose-independent, so the est path under ANY (cadence,
+    window, BAConfig) schedule is reproducible from the per-frame tracks
+    + the online pose chain: chain the recorded relative transforms,
+    solve windows on schedule, write refined poses back into the chain.
+    Windows containing a re-detect fallback are skipped (the live
+    pipeline remaps slot history there; the replay does not model it)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import functools
+
+    import jax.numpy as jnp
+    import vo_tpu  # noqa: F401
+    from vo_tpu.ba.schur import BAConfig
+    from vo_tpu.ba.window import WindowConfig, WindowState, run_window_ba
+    from vo_tpu.utils.metrics import compute_ate
+
+    z = np.load(args.inp)
+    K = jnp.asarray(z["K"])
+    fp = z["frame_poses"]  # (F, 4, 4) online chain
+    pts = z["frame_pts"]  # (F, Kcap, 2)
+    val = z["frame_valid"]  # (F, Kcap)
+    fb = z["frame_fallback"]
+    gt = z["gt_poses"]
+    F = fp.shape[0]
+    rel = np.einsum("fij,fjk->fik", np.linalg.inv(fp[:-1]), fp[1:])
+
+    gt2d = gt[:, [0, 2], 3]
+    base_ate, _ = compute_ate(gt2d, fp[:, [0, 2], 3])
+    print(f"frames={F}  no-BA ATE {base_ate:.2f} m")
+
+    solve = jax.jit(run_window_ba, static_argnames=("cfg",))
+
+    def run_schedule(cadence, wcfg, label):
+        W = wcfg.window_size
+        r = np.empty_like(fp)
+        r[0] = fp[0]
+        n_ba = n_skip = n_acc = 0
+        for i in range(1, F):
+            r[i] = r[i - 1] @ rel[i - 1]
+            if i >= W and i % cadence == 0:
+                if fb[i - W + 1 : i + 1].any():
+                    n_skip += 1
+                    continue
+                st = WindowState(
+                    poses=jnp.asarray(r[i - W + 1 : i + 1]),
+                    obs=jnp.asarray(pts[i - W + 1 : i + 1]),
+                    valid=jnp.asarray(val[i - W + 1 : i + 1]),
+                    count=jnp.asarray(W, jnp.int32),
+                )
+                new_poses, ok, info = solve(st, K, cfg=wcfg)
+                r[i - W + 1 : i + 1] = np.asarray(new_poses)
+                n_ba += 1
+                n_acc += int(info["ba_accepted"])
+        ate, _ = compute_ate(gt2d, r[:, [0, 2], 3])
+        print(
+            f"{label}: ATE {ate:.2f} m ({ate / base_ate:.2f}x)  "
+            f"ba_runs={n_ba} skipped={n_skip} "
+            f"acc={n_acc}/{n_ba * wcfg.window_size}",
+            flush=True,
+        )
+        return ate
+
+    Wc = functools.partial(WindowConfig)
+    run_schedule(10, Wc(), "cadence10 (parity)")
+    run_schedule(5, Wc(), "cadence5")
+    run_schedule(4, Wc(), "cadence4")
+    run_schedule(2, Wc(), "cadence2")
+    run_schedule(1, Wc(), "cadence1 (sliding)")
+    run_schedule(4, Wc(ba=BAConfig(scale_gauge_weight=0.0)),
+                 "cadence4 free-gauge")
+    run_schedule(1, Wc(ba=BAConfig(scale_gauge_weight=0.0)),
+                 "cadence1 free-gauge")
+    run_schedule(6, Wc(window_size=8), "W8 cadence6")
+    run_schedule(10, Wc(min_landmarks=100), "cadence10 minL100")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=("collect", "analyze"))
+    ap.add_argument("mode", choices=("collect", "analyze", "replay"))
     ap.add_argument("--frames", type=int, default=260)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/ba_windows.npz")
@@ -172,6 +269,8 @@ def main():
     args = ap.parse_args()
     if args.mode == "collect":
         collect(args)
+    elif args.mode == "replay":
+        replay(args)
     else:
         analyze(args)
 

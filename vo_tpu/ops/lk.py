@@ -395,9 +395,11 @@ def _refine_level(
             okf = okf & (tmpl_out | ~ended_out)
         return v, okf
 
-    if config.layout == "pallas":
+    if config.layout == "pallas" and config.axis_name is None:
         # fused VMEM-resident iteration loop (ops/lk_pallas.py); storage
-        # layout identical to "lanes"
+        # layout identical to "lanes". Sharded tracking (axis_name set)
+        # stays on the lanes path: its early-exit counts must be psum'd
+        # across the mesh for dense/sharded bitwise equality.
         from .lk_pallas import refine_level_pallas
 
         v, solvable = refine_level_pallas(

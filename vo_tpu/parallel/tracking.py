@@ -35,7 +35,9 @@ from ..ops.lk import (
 def _cache_specs_for(n_levels: int, axis: str, config: LKConfig) -> LKCache:
     # lanes layout keeps keypoints on the LAST (lane) dim of each window
     # stack (ops/lk.py LKConfig.layout); origins stay keypoint-major
-    win_spec = P(None, None, axis) if config.layout == "lanes" else P(axis)
+    win_spec = (
+        P(None, None, axis) if config.layout != "batch" else P(axis)
+    )
     return LKCache(
         wins=tuple(win_spec for _ in range(n_levels)),
         origins=tuple(P(axis) for _ in range(n_levels)),

@@ -38,7 +38,7 @@ def tracking_state_specs(cfg: VOConfig, n_levels: int) -> TrackingState:
     LK cache layout (ops/lk.py): "lanes" stores windows as (S, S, N) with
     keypoints on the LANE axis — shard axis 2; the batched form stores
     (N, S, S) — shard axis 0."""
-    lanes = cfg.lk.layout == "lanes"
+    lanes = cfg.lk.layout != "batch"  # "lanes" and "pallas" share storage
     win = P(None, None, "kp") if lanes else P("kp", None, None)
     rep = P()
     return TrackingState(
