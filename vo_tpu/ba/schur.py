@@ -161,6 +161,7 @@ def bundle_adjust(
     config: BAConfig = BAConfig(),
     axis_name: str | None = None,
     return_trace: bool = False,
+    point_prior_w: jnp.ndarray | None = None,
 ) -> BAResult:
     """Joint pose+structure refinement on a fixed window.
 
@@ -174,6 +175,13 @@ def bundle_adjust(
       axis_name: mesh axis over which the landmark dimension is sharded;
         camera-side accumulations are psum'd so every shard holds the same
         replicated pose update.
+      point_prior_w: optional (L,) per-landmark prior weight. Landmarks
+        with w > 0 get a residual w * (X - X_init) (3 rows, px-cost
+        units): the cross-window landmark-reuse anchor (ba/window.py
+        map reuse) — re-observed map points pin the window's scale and
+        heading to the previous solve, which plain fresh-triangulation
+        windowed BA cannot observe. Purely landmark-diagonal, so it adds
+        only to V/gp and the Schur structure is unchanged.
     """
     W = poses.shape[0]
     mask = obs_mask & point_mask[None, :]
@@ -183,6 +191,12 @@ def bundle_adjust(
     # the whole normal-equation system (every LM step rejected).
     points = jnp.where(
         point_mask[:, None] & jnp.isfinite(points), points, 0.0
+    )
+    X_anchor = points  # prior center = entry estimate (map position)
+    pw2 = (
+        None
+        if point_prior_w is None
+        else jnp.where(point_mask, point_prior_w, 0.0) ** 2  # (L,)
     )
     free = jnp.ones((W,), poses.dtype)
     if config.gauge_fix_first:
@@ -221,6 +235,14 @@ def bundle_adjust(
         gc = -jnp.einsum("wlri,wlr->wi", Jcw, rw)  # (W,6) local
         gp = -jnp.einsum("wlri,wlr->li", Jpw, rw)  # (L,3)
         cost = _lsum(_robust_cost(r2, mask, config.huber_delta), axis_name)
+        if pw2 is not None:
+            # landmark-reuse prior: w^2 I on V, pull toward the anchor.
+            dX = points_ - X_anchor
+            V = V + pw2[:, None, None] * jnp.eye(3, dtype=V.dtype)
+            gp = gp - pw2[:, None] * dX
+            cost = cost + _lsum(
+                jnp.sum(pw2 * jnp.sum(dX * dX, -1)), axis_name
+            )
         # Prior terms are functions of the (replicated) poses only — added
         # once, after the landmark-shard reduction.
         rs = scale_residual(poses_)

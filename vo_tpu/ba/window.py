@@ -44,6 +44,18 @@ class WindowConfig(NamedTuple):
     # in (0, max_depth) in all observing views.
     max_depth: float = 2000.0
     max_init_px: float = 5.0
+    # Cross-window landmark reuse ("local map") — an accuracy feature the
+    # reference does not have: fresh-per-window BA cannot observe the
+    # window's global scale (monocular gauge) or correct the chain across
+    # window boundaries, so per-step scale noise — the dominant ATE term
+    # on the synthetic eval (scripts/ba_win_diag.py decompose: |scale|
+    # ~23%/window vs rotation 0.18 deg) — survives BA untouched.
+    # Landmarks solved in the PREVIOUS window and re-observed here enter
+    # as both initialization and a soft prior (schur.py point_prior_w):
+    # the overlap anchors the current window's scale/heading to the
+    # previous solve, damping the random walk.
+    map_prior_weight: float = 3.0  # px-cost per meter of map deviation
+    map_gate_px: float = 5.0  # reuse reprojection gate (all views)
     ba: BAConfig = BAConfig()
 
 
@@ -132,6 +144,30 @@ def triangulate_window(
     return X[..., :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
 
 
+def _gate_points(
+    T_wc: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    X: jnp.ndarray,
+    px: float,
+    max_depth: float,
+) -> jnp.ndarray:
+    """(L,) acceptance: X keeps positive bounded depth in EVERY observing
+    view and reprojects within `px` there, with >= 2 observing views."""
+    pc = jnp.einsum("wij,lj->wli", T_wc[:, :3, :3], X) + T_wc[:, None, :3, 3]
+    z = pc[..., 2]
+    zsafe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    proj = pc[..., :2] / zsafe[..., None]
+    uv = proj * jnp.array([K[0, 0], K[1, 1]]) + jnp.array([K[0, 2], K[1, 2]])
+    err2 = jnp.sum((uv - obs) ** 2, axis=-1)  # (W, L)
+    depth_ok = (z > 0.0) & (z < max_depth)
+    view_ok = depth_ok & (err2 < px**2)
+    ok_all = jnp.all(view_ok | ~valid, axis=0)  # every observing view
+    n_views = jnp.sum(valid, axis=0)
+    return (n_views >= 2) & ok_all & jnp.all(jnp.isfinite(X), axis=1)
+
+
 def build_landmarks(
     T_wc: jnp.ndarray,
     obs: jnp.ndarray,
@@ -145,30 +181,27 @@ def build_landmarks(
     cfg.max_init_px there — stuck wild-depth outliers otherwise put a
     floor under the BA cost and bias the poses (scripts/ba_diag.py)."""
     X = triangulate_window(T_wc, obs, valid, K)
-    pc = jnp.einsum("wij,lj->wli", T_wc[:, :3, :3], X) + T_wc[:, None, :3, 3]
-    z = pc[..., 2]
-    zsafe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-    proj = pc[..., :2] / zsafe[..., None]
-    uv = proj * jnp.array([K[0, 0], K[1, 1]]) + jnp.array([K[0, 2], K[1, 2]])
-    err2 = jnp.sum((uv - obs) ** 2, axis=-1)  # (W, L)
-    depth_ok = (z > 0.0) & (z < cfg.max_depth)
-    view_ok = depth_ok & (err2 < cfg.max_init_px**2)
-    ok_all = jnp.all(view_ok | ~valid, axis=0)  # every observing view
-    n_views = jnp.sum(valid, axis=0)
-    return X, (
-        (n_views >= 2) & ok_all & jnp.all(jnp.isfinite(X), axis=1)
+    return X, _gate_points(
+        T_wc, obs, valid, K, X, cfg.max_init_px, cfg.max_depth
     )
 
 
 def run_window_ba(
-    st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None
+    st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None,
+    lmap=None,
 ):
     """Assemble + solve the window BA problem; returns (new_poses (W,4,4),
-    applied (W,) bool, info dict of scalars).
+    applied (W,) bool, info dict of scalars) — plus the updated map
+    (map_X, map_ok) when `lmap` is given.
 
     Poses are optimized world->cam (like the reference, :596-600) and gated
     per pose against runaway updates before being written back inverted.
-    """
+
+    `lmap` = (map_X (K,3), map_ok (K,)) enables cross-window landmark
+    reuse (see WindowConfig.map_prior_weight): map points that re-gate
+    against the CURRENT window replace the fresh triangulation as
+    initialization and carry a soft position prior, anchoring this
+    window's scale/heading to the previous solve."""
     W, Kcap = st.valid.shape
     T_wc = inv_se3(st.poses)  # world->cam (4,4) each
     pose6 = jnp.concatenate(
@@ -176,6 +209,18 @@ def run_window_ba(
     )  # (W, 6)
 
     X, point_ok = build_landmarks(T_wc, st.obs, st.valid, K, cfg)
+
+    prior_w = None
+    reuse = None
+    if lmap is not None:
+        map_X, map_ok = lmap
+        reuse = map_ok & _gate_points(
+            T_wc, st.obs, st.valid, K, map_X,
+            cfg.map_gate_px, cfg.max_depth,
+        )
+        X = jnp.where(reuse[:, None], map_X, X)
+        point_ok = point_ok | reuse
+        prior_w = jnp.where(reuse, cfg.map_prior_weight, 0.0)
 
     baseline = jnp.linalg.norm(st.poses[1, :3, 3] - st.poses[0, :3, 3])
     ba_ok = (
@@ -195,6 +240,7 @@ def run_window_ba(
         K,
         config=cfg.ba,
         axis_name=axis_name,
+        point_prior_w=prior_w,
     )
 
     # Per-pose accept gates (:699-717): reject poses that moved too far.
@@ -221,4 +267,18 @@ def run_window_ba(
         "ba_landmarks": jnp.sum(point_ok),
         "ba_accepted": jnp.sum(pose_ok),
     }
+    if lmap is not None:
+        # Map update: only on an applied solve; solved landmarks take
+        # their refined positions, everything else ages out (map_ok =
+        # this round's solved set — anchoring is window-(k-1)->k).
+        applied = jnp.any(pose_ok)
+        map_X, map_ok = lmap
+        new_map = (
+            jnp.where((point_ok & applied)[:, None], res.points, map_X),
+            jnp.where(applied, point_ok, map_ok),
+        )
+        info["ba_reused"] = jnp.sum(
+            reuse & point_ok
+        )
+        return new_poses, pose_ok, info, new_map
     return new_poses, pose_ok, info
