@@ -152,6 +152,48 @@ def bench_preset(name: str, frames, K, coarse_n: int = 0) -> dict:
     return _result(name, fps, baseline)
 
 
+def bench_preset_scan(name: str, frames, K, chunk: int = 25) -> dict:
+    """Scan-mode throughput (models/vo_scan.py): one dispatch per `chunk`
+    frames via lax.scan — the offline/serving fast path. Tracking scan is
+    bit-identical to the sync step loop; reported as `<name>_scan_fps`."""
+    import jax.numpy as jnp
+
+    from vo_tpu.models.vo_scan import make_scan_fn
+    from vo_tpu.runtime.presets import get_preset
+
+    baseline, n = BASELINES[name]
+    n = (n // chunk) * chunk or chunk
+    preset = get_preset(name)
+    if preset.window is not None:
+        raise ValueError("scan mode covers tracking/matching presets")
+    vo = preset.build(K)
+    t_build = time.perf_counter()
+    state = vo.init(frames[0])
+    scan_fn = make_scan_fn(vo, chunk)
+    stack = jnp.stack(frames[1 : 1 + chunk])
+    state, outs = scan_fn(state, stack)
+    np.asarray(outs.pose[-1])
+    _log(f"{name}: scan warmup+compile {time.perf_counter() - t_build:.1f}s")
+
+    fi = 1 + chunk
+    t0 = time.perf_counter()
+    for _ in range(n // chunk):
+        stack = jnp.stack(
+            [frames[1 + (fi + j) % (len(frames) - 1)] for j in range(chunk)]
+        )
+        state, outs = scan_fn(state, stack)
+        fi += chunk
+    np.asarray(outs.pose[-1])  # value fetch = the only reliable sync
+    fps = n / (time.perf_counter() - t0)
+    _log(
+        f"{name}: scan {fps:.2f} fps over {n} frames "
+        f"({fps / baseline:.2f}x, chunk={chunk})"
+    )
+    res = _result(name, fps, baseline)
+    res["metric"] = f"{name}_scan_fps"
+    return res
+
+
 def _probe_devices(timeout_s: float = 420.0):
     """Fail FAST (exit 3) when the device backend is unreachable.
 
@@ -201,12 +243,15 @@ def main():
         [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
     )
     suffix = "_realmotion" if synthetic else ""
+    scan = "--scan" in sys.argv[1:]
     for i, name in enumerate(names):
         coarse_n = 20 if i == 0 else 0
         r = bench_preset(name, frames, K, coarse_n)
         if suffix:
             r["metric"] = r["metric"].replace("_fps", f"{suffix}_fps")
         print(json.dumps(r), flush=True)
+        if scan and name in ("tracking_orb", "tracking_sift"):
+            print(json.dumps(bench_preset_scan(name, frames, K)), flush=True)
 
 
 if __name__ == "__main__":
