@@ -200,6 +200,38 @@ def test_relative_scale_matched(rng):
     assert tiny == pytest.approx(0.1)
 
 
+def test_relative_scale_matched_unbiased_under_raster_order(rng):
+    """Sanity in the adjacent-pair regime: raster-ordered clouds (SIFT
+    slot order) make naive consecutive pairs spatially adjacent, with
+    depth-noise-dominated separations. In the live pipeline (where the
+    two clouds' noise is asymmetric: different image pairs, LK-search
+    correlations) that pairing ran ~16% low — the tracking_sift
+    failure-trajectory root cause, fixed by the scattered pairing
+    (geometry/scale.py _scatter_perm; measured 13.7 -> 3.1 m drift at
+    frame 50 of the hard sequence). This test pins the scattered
+    estimator's accuracy in the raster regime; the trajectory-level
+    regression guard is the eval (RESULTS.md)."""
+    n_side = 24
+    g = np.stack(
+        np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2)
+    # raster order, small lateral spacing, depth-dominated noise
+    base = np.concatenate(
+        [g.astype(np.float32) * 0.08, np.full((len(g), 1), 20.0)], axis=1
+    )
+    est = []
+    for trial in range(8):
+        zn1 = rng.normal(0, 0.6, (len(g), 1)).astype(np.float32)
+        zn2 = rng.normal(0, 0.6, (len(g), 1)).astype(np.float32)
+        prev = base + np.concatenate([np.zeros((len(g), 2)), zn1], 1)
+        cur = (base + np.concatenate([np.zeros((len(g), 2)), zn2], 1)) / 1.0
+        valid = np.ones(len(g), bool)
+        est.append(float(relative_scale_matched(prev, cur, valid)))
+    # true relative scale is 1.0; require small bias despite the noise
+    assert abs(np.median(est) - 1.0) < 0.05, est
+
+
 def test_relative_scale_unmatched(rng):
     pts = rng.normal(size=(60, 3)).astype(np.float32) * 4.0
     v1 = np.ones(60, bool)

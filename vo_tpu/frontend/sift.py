@@ -588,12 +588,17 @@ def sift_detect_and_compute(
     keep = top > 0.0
     # Canonical RASTER output order (invalid slots last): selection is by
     # response, but emission order follows scan order like cv::SIFT's
-    # de-facto ordering. This matters beyond parity: the unmatched-cloud
-    # scale estimator pairs triangulated points BY INDEX
-    # (feature_matching.cpp:251-254, SURVEY.md §7 hard-part 4), which is
-    # only meaningful when index order is spatially coherent — a
-    # response-sorted order made matching_sift's scale pairing garbage
-    # (measured: 3.5x the cv2 anchor's ATE on the eval sequence).
+    # de-facto ordering. This matters beyond parity: the UNMATCHED-cloud
+    # scale estimator pairs triangulated points BY INDEX across two
+    # independently compacted clouds (feature_matching.cpp:251-254,
+    # SURVEY.md §7 hard-part 4), which is only meaningful when index
+    # order is spatially coherent — a response-sorted order made
+    # matching_sift's scale pairing garbage (measured: 3.5x the cv2
+    # anchor's ATE on the eval sequence). The MATCHED estimator is the
+    # opposite: coherent order makes its consecutive-pair distances
+    # adjacent and depth-noise-dominated (a measured -16% scale bias),
+    # so geometry/scale.py scatters its pairing with a fixed
+    # permutation; raster emission stays correct for both.
     # int32 key: a float key (ry * 16384 + rx) loses sub-pixel x once
     # ry * 16384 exceeds 2^24 (images taller than ~1024 px). A
     # quarter-pixel int key orders nearby refinements stably up to
