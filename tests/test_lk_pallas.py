@@ -1,9 +1,15 @@
 """Parity: the fused Pallas LK level kernel vs the XLA lanes path.
 
-With N <= one lane block the kernel's early-exit semantics and
-accumulation order are identical to `_refine_level(layout="lanes")`, so
-endpoints must agree to float tolerance. Runs in pallas interpret mode
-on the CPU mesh (the kernel auto-interprets off-TPU)."""
+The kernel runs a fixed-trip iteration loop with per-point convergence
+masking (Mosaic cannot legalize data-dependent while loops with vector
+carries), so points that converge are bit-identically frozen, while the
+slow tail the lanes path freezes at its 96% block early-exit keeps
+iterating to its own convergence (cv2's per-point termination). Hence:
+endpoints agree to float tolerance for the typical point, the tail is
+bounded, and the tracked flow must match the induced ground-truth shift.
+Runs in pallas interpret mode on the CPU mesh (the kernel
+auto-interprets off-TPU); the same asserts run on real silicon via
+scripts/bench_lk_ab.py."""
 
 import numpy as np
 import pytest
@@ -54,8 +60,11 @@ def test_pallas_matches_lanes_endpoints(precision):
     assert (st_l == st_p).mean() > 0.98
     both = st_l & st_p
     assert both.sum() > N // 2
-    d = np.abs(p_l[both] - p_p[both]).max()
-    assert d < 1e-2, f"max endpoint delta {d}"
+    d = np.abs(p_l[both] - p_p[both]).max(axis=1)
+    # converged points freeze identically; the early-exit tail may keep
+    # refining in the kernel (never past cv2's own iteration budget)
+    assert np.percentile(d, 90) < 1e-2, f"p90 endpoint delta {d.max()}"
+    assert d.max() < 0.5, f"max endpoint delta {d.max()}"
     # and the tracked flow is the induced shift for most survivors
     flow = p_p[both] - pts[both]
     err = np.abs(flow - np.array([3.0, -2.0])).max(axis=1)

@@ -208,18 +208,27 @@ def five_point_essential(
     Returns (E (..., 10, 3, 3), valid (..., 10)) — up to 10 real solutions
     per sample, masked."""
     from .epipolar import _epipolar_rows, project_to_essential
+    from .linalg3 import gauss_jordan_solve, null_basis_jacobi
 
     A = _epipolar_rows(pts1, pts2)  # (..., 5, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    basis = Vt[..., 5:9, :].reshape(Vt.shape[:-2] + (4, 3, 3))  # X, Y, Z, W
+    # 4-dim right nullspace of A via one-sided Jacobi (linalg3): pure
+    # batched VPU arithmetic. jnp.linalg.svd on TPU lowers to a
+    # QR+eigh+Cholesky+LU custom-call chain that measured ~3 ms/step
+    # inside the tracking RANSAC (profiler: EighTpu 1.6 ms + Cholesky +
+    # QrDecompositionBlock whiles); any orthonormal nullspace basis is
+    # equivalent for the Nistér construction below.
+    basis9 = null_basis_jacobi(A, 4)  # (..., 4, 9), Vt[5:9] row order
+    basis = basis9.reshape(basis9.shape[:-2] + (4, 3, 3))  # X, Y, Z, W
 
     coeffs = _constraint_coeffs(basis)  # (..., 10, 20)
 
     # Gauss-Jordan: reduced B s.t. leading monomials = -B @ trailing
+    # (batched in-graph elimination, linalg3.gauss_jordan_solve — the
+    # LuDecompositionBlock custom call measured ~0.6 ms/step here)
     lead_blk = coeffs[..., :, :10]
     trail_blk = coeffs[..., :, 10:]
-    B = jnp.linalg.solve(lead_blk, trail_blk)  # (..., 10, 10)
-    gj_ok = jnp.all(jnp.isfinite(B), axis=(-1, -2))
+    B, gj_ok = gauss_jordan_solve(lead_blk, trail_blk)  # (..., 10, 10)
+    gj_ok = gj_ok & jnp.all(jnp.isfinite(B), axis=(-1, -2))
 
     # Nistér rows: <e> = row(x^2 z) - z*row(x^2)   (indices 4, 5)
     #              <f> = row(y^2 z) - z*row(y^2)   (indices 6, 7)

@@ -154,17 +154,56 @@ def nullspace_jacobi(A: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
     that made eigh(A^T A) ~100x worse than SVD for the 8-point fit —
     see epipolar._nullspace). Every rotation is a batched length-m
     vector op: the whole solve is VPU arithmetic that batches over
-    RANSAC hypotheses, replacing the serialized QR+SVD custom calls."""
+    RANSAC hypotheses, replacing the serialized QR+SVD custom calls.
+
+    The sweep driver (`_jacobi_sweeps`) uses a round-robin (tournament)
+    parallel ordering: disjoint pairs rotate simultaneously, cutting the
+    sequential depth from C(k,2) rotations per sweep to k rounds of
+    floor(k/2) concurrent rotations each — the solve is latency-bound,
+    so this is a ~4x wall-clock cut at k=9. Classic circle method (dummy
+    element for odd k); every unordered pair meets exactly once per
+    sweep."""
+    B, V = _jacobi_sweeps(A, sweeps)
+    sv2 = jnp.sum(B * B, axis=-2)  # squared singular values, (..., k)
+    i = jnp.argmin(sv2, axis=-1)
+    return jnp.take_along_axis(V, i[..., None, None], axis=-1)[..., 0]
+
+
+def null_basis_jacobi(
+    A: jnp.ndarray, nb: int, sweeps: int = 8
+) -> jnp.ndarray:
+    """(..., m, k) -> (..., nb, k) orthonormal right-singular vectors of
+    the `nb` SMALLEST singular values, ordered by DESCENDING singular
+    value (matching `jnp.linalg.svd(...)[2][..., k-nb:, :]`, the LAPACK
+    Vt tail the 5-point solver used to take).
+
+    Same one-sided Jacobi as `nullspace_jacobi`; V is a product of exact
+    rotations, so the returned basis is orthonormal to machine precision
+    even for the degenerate singular values of an exact nullspace. On TPU
+    this replaces jnp.linalg.svd's QR+eigh+Cholesky custom-call chain —
+    measured ~4 ms/step inside RANSAC's batched 5-point solve — with
+    pure batched VPU arithmetic."""
+    from jax import lax
+
+    k = A.shape[-1]
+    B, V = _jacobi_sweeps(A, sweeps)
+    sv2 = jnp.sum(B * B, axis=-2)  # (..., k)
+    # nb smallest, then flip so the LARGEST of those comes first (the
+    # LAPACK Vt[k-nb:] row order).
+    _, idx = lax.top_k(-sv2, nb)  # ascending sv2
+    idx = jnp.flip(idx, axis=-1)  # descending sv2
+    # gather columns idx of V -> rows of the output basis
+    Vt = jnp.swapaxes(V, -1, -2)  # (..., k, k) rows = right-singular vecs
+    return jnp.take_along_axis(Vt, idx[..., :, None], axis=-2)
+
+
+def _jacobi_sweeps(A: jnp.ndarray, sweeps: int):
+    """Shared one-sided-Jacobi driver: returns (B, V) with B = A @ V,
+    columns of B orthogonal after `sweeps` round-robin sweeps."""
     import numpy as np
     from jax import lax
 
     k = A.shape[-1]
-    # Round-robin (tournament) parallel ordering: disjoint pairs rotate
-    # simultaneously, cutting the sequential depth from C(k,2) rotations
-    # per sweep to k rounds of floor(k/2) concurrent rotations each —
-    # the solve is latency-bound, so this is a ~4x wall-clock cut at
-    # k=9. Classic circle method (dummy element for odd k); every
-    # unordered pair meets exactly once per sweep.
     ke = k + (k % 2)
     circle = list(range(ke))
     rounds = []
@@ -181,7 +220,7 @@ def nullspace_jacobi(A: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
     def rotate_round(B, V, prs):
         ip = np.array([p for p, _ in prs])
         iq = np.array([q for _, q in prs])
-        Bp, Bq = B[..., :, ip], B[..., :, iq]  # (..., m, npairs)
+        Bp, Bq = B[..., :, ip], B[..., :, iq]
         gpp = jnp.sum(Bp * Bp, -2)
         gqq = jnp.sum(Bq * Bq, -2)
         gpq = jnp.sum(Bp * Bq, -2)
@@ -206,6 +245,43 @@ def nullspace_jacobi(A: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
         return (B, V), None
 
     (B, V), _ = lax.scan(sweep, (A, V0), None, length=sweeps)
-    sv2 = jnp.sum(B * B, axis=-2)  # squared singular values, (..., k)
-    i = jnp.argmin(sv2, axis=-1)
-    return jnp.take_along_axis(V, i[..., None, None], axis=-1)[..., 0]
+    return B, V
+
+
+def gauss_jordan_solve(
+    A: jnp.ndarray, B: jnp.ndarray, eps: float = 1e-12
+):
+    """Batched dense solve A @ X = B via Gauss-Jordan with partial
+    pivoting: (..., n, n), (..., n, m) -> (X (..., n, m), ok (...,)).
+
+    n static-unrolled elimination steps of full-width batched vector ops —
+    replaces jnp.linalg.solve's LuDecompositionBlock custom-call chain
+    (serialized, ~0.6 ms/step for RANSAC's (S, 10, 10) Nistér
+    Gauss-Jordan reduction) with fused VPU arithmetic. `ok` is False
+    where some pivot magnitude fell below `eps` (singular system; the
+    jnp.linalg.solve path returned inf/nan there)."""
+    n = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)  # (..., n, n+m)
+    idx = jnp.arange(n)
+    ok = jnp.ones(A.shape[:-2], bool)
+    for kk in range(n):
+        col = M[..., :, kk]  # (..., n)
+        score = jnp.where(idx >= kk, jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(score, axis=-1)  # (...,)
+        prow = jnp.take_along_axis(
+            M, p[..., None, None], axis=-2
+        )  # (..., 1, n+m)
+        piv = prow[..., 0, kk]
+        ok = ok & (jnp.abs(piv) > eps)
+        prow = prow / jnp.where(jnp.abs(piv) > eps, piv, 1.0)[..., None, None]
+        is_k = idx == kk  # (n,)
+        is_p = idx == p[..., None]  # (..., n)
+        # swap: row p inherits old row k (when p != k), row k = pivot row
+        M = jnp.where(
+            (is_p & ~is_k)[..., None], M[..., kk : kk + 1, :], M
+        )
+        M = jnp.where(is_k[:, None], prow, M)
+        # eliminate column kk from every other row
+        f = jnp.where(is_k, 0.0, M[..., :, kk])  # (..., n)
+        M = M - f[..., None] * prow
+    return M[..., :, n:], ok

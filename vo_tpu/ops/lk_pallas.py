@@ -13,11 +13,15 @@ sub-pixel sampling, residuals, 2x2 solve, convergence gating — out of
 VMEM/vregs. Per-iteration traffic drops from HBM bandwidth to VMEM
 bandwidth; the loop becomes VPU-bound.
 
-Semantics match `_refine_level(layout="lanes")` except the early-exit
-convergence count is per lane-block rather than global (each grid block
-exits when >=96%% of ITS active points converge). Endpoints stay inside
-cv2 parity bounds (tests/test_lk_pallas.py); for N <= one block the
-semantics — and arithmetic order — are identical to the lanes path.
+Semantics match `_refine_level(layout="lanes")` except the loop runs
+the full `iters` budget with per-point convergence masking instead of
+the lanes path's 96%-converged block early exit (Mosaic cannot legalize
+scf.while with vector carries, so the loop is a fixed-trip fori; the
+masked extra iterations are VMEM-resident VPU work only). Converged
+points freeze identically; the slowest few points iterate to their own
+convergence — cv2's per-point termination — where the lanes path
+freezes them at the early exit. Endpoints stay inside cv2 parity bounds
+(tests/test_lk_pallas.py).
 """
 
 from __future__ import annotations
@@ -45,28 +49,88 @@ def _block_lanes(Sp: int, itemsize: int) -> int:
     return nb
 
 
+def _sample_lanes_2d(winp, qx, qy, wp: int, S: int):
+    """Kernel-local twin of lk._sample_windows_lanes with every per-point
+    value kept 2-D (1, NB): Mosaic's vector layout engine rejects rank-1
+    intermediates inside kernels (Check failed:
+    arr.size() >= layout_rank, measured on the v5e toolchain), so the
+    lane-vector masks/offsets here carry an explicit leading unit
+    sublane. Same math: aligned static-slice mask-accumulate (two-level
+    8-blocked for wide ranges) + fractional FMA blend."""
+    from jax import lax
+
+    f32 = jnp.float32
+    half = (wp - 1) // 2
+    by = jnp.floor(qy)
+    bx = jnp.floor(qx)
+    fy = (qy - by).astype(f32)[None]  # (1, 1, NB)
+    fx = (qx - bx).astype(f32)[None]
+    oy = by.astype(jnp.int32) - half  # (1, NB)
+    ox = bx.astype(jnp.int32) - half
+
+    def aligned(x, o_idx, rows_out, axis):
+        n_off = S - wp + 3
+
+        def sl(arr, start, size):
+            return lax.slice_in_dim(arr, start, start + size, axis=axis)
+
+        if n_off <= 16:
+            acc = None
+            for o in range(-1, S - wp + 2):
+                m = (o_idx == o).astype(f32)[None]  # (1, 1, NB)
+                term = m * sl(x, o + 1, rows_out).astype(f32)
+                acc = term if acc is None else acc + term
+            return acc
+        blk_idx = (o_idx + 1) // 8
+        fine_idx = (o_idx + 1) - 8 * blk_idx
+        n_blk = (n_off - 1) // 8 + 1
+        mid = None
+        for b in range(n_blk):
+            m = (blk_idx == b).astype(f32)[None]
+            term = m * sl(x, 8 * b, rows_out + 7).astype(f32)
+            mid = term if mid is None else mid + term
+        acc = None
+        for f in range(8):
+            m = (fine_idx == f).astype(f32)[None]
+            term = m * sl(mid, f, rows_out)
+            acc = term if acc is None else acc + term
+        return acc
+
+    rows_al = aligned(winp, oy, wp + 1, 0)  # (wp+1, S+3, NB) f32
+    rows_i = (
+        lax.slice_in_dim(rows_al, 0, wp, axis=0) * (1.0 - fy)
+        + lax.slice_in_dim(rows_al, 1, wp + 1, axis=0) * fy
+    )
+    cols_al = aligned(rows_i, ox, wp + 1, 1)  # (wp, wp+1, NB)
+    return (
+        lax.slice_in_dim(cols_al, 0, wp, axis=1) * (1.0 - fx)
+        + lax.slice_in_dim(cols_al, 1, wp + 1, axis=1) * fx
+    )
+
+
 def _refine_kernel(
     io_ref, win1_ref, win2_ref, out_ref, *,
     S: int, win: int, iters: int, eps: float, min_eig_threshold: float,
 ):
-    from .lk import _sample_windows_lanes
-
     f32 = jnp.float32
     wp = win + 2
     win1 = win1_ref[...]
     win2 = win2_ref[...]
     io = io_ref[...]
-    q1x, q1y = io[0], io[1]
-    q20x, q20y = io[2], io[3]
-    v0x, v0y = io[4], io[5]
-    pre = io[6] > 0.5  # ok & ~tmpl_out, computed by the caller
+    # every per-point value stays (1, NB) — see _sample_lanes_2d
+    q1x, q1y = io[0:1], io[1:2]
+    q20x, q20y = io[2:3], io[3:4]
+    v0x, v0y = io[4:5], io[5:6]
+    pre = io[6:7] > 0.5  # ok & ~tmpl_out, computed by the caller
 
     # template patch + gradients (identical math to _refine_level)
-    big = _sample_windows_lanes(win1, q1x, q1y, wp, S)  # (wp, wp, NB) f32
+    big = _sample_lanes_2d(win1, q1x, q1y, wp, S)  # (wp, wp, NB) f32
     T = big[1:-1, 1:-1]
     Tx = (big[1:-1, 2:] - big[1:-1, :-2]) * 0.5
     Ty = (big[2:, 1:-1] - big[:-2, 1:-1]) * 0.5
-    red = lambda a: jnp.sum(a, axis=(0, 1))
+    # (wp, wp, NB) -> (1, NB): reduce one axis at a time with keepdims so
+    # no rank-1 intermediate exists (Mosaic layout constraint)
+    red = lambda a: jnp.sum(jnp.sum(a, axis=0), axis=0, keepdims=True)
     gxx = red(Tx * Tx)
     gxy = red(Tx * Ty)
     gyy = red(Ty * Ty)
@@ -77,47 +141,59 @@ def _refine_kernel(
     solvable = (det > 1e-7) & (min_eig > min_eig_threshold)
     inv_det = 1.0 / jnp.where(det > 1e-7, det, 1.0)
     active0 = solvable & pre
-    n_active0 = jnp.maximum(jnp.sum(active0), 1)
 
     half = (wp - 1) / 2.0
     lo = half - 1.0
     hi = S - half
 
-    def cond(carry):
-        _, _, converged, it = carry
-        remaining = jnp.sum(active0 & ~converged)
-        return (it < iters) & (remaining * 25 > n_active0)
+    # Fixed-trip fori_loop with all-f32 carries: Mosaic cannot legalize
+    # scf.while at all with vector carries ("failed to legalize operation
+    # 'scf.yield'") nor scf.for with i1 vector carries ("failed to
+    # legalize operation 'scf.for'", both measured on the v5e toolchain),
+    # so the lanes path's data-dependent early exit becomes per-point
+    # convergence masking (as a 0/1 f32 lane vector) over the full
+    # `iters` budget. Each iteration is pure VMEM/vreg arithmetic, so
+    # the extra masked iterations cost VPU cycles only — no HBM traffic.
+    # Semantics: every point iterates until ITS OWN convergence (cv2's
+    # per-point termination), where the lanes path freezes the slowest
+    # ~4% when the block-level early exit fires.
+    active0_f = active0.astype(f32)
 
-    def body(carry):
-        vx, vy, converged, it = carry
+    def body(it, carry):
+        vx, vy, conv = carry  # conv: 0/1 f32 (1, NB)
         q2x = q20x + vx
         q2y = q20y + vy
-        out_w = (q2x < lo) | (q2x > hi) | (q2y < lo) | (q2y > hi)
-        I = _sample_windows_lanes(win2, q2x, q2y, wp, S)[1:-1, 1:-1]
+        out_w = (
+            (q2x < lo) | (q2x > hi) | (q2y < lo) | (q2y > hi)
+        ).astype(f32)
+        I = _sample_lanes_2d(win2, q2x, q2y, wp, S)[1:-1, 1:-1]
         dI = I - T
         bx = red(dI * Tx)
         by = red(dI * Ty)
         dvx = -(gyy * bx - gxy * by) * inv_det
         dvy = -(-gxy * bx + gxx * by) * inv_det
-        move = active0 & ~converged & ~out_w
-        vx = jnp.where(move, vx + dvx, vx)
-        vy = jnp.where(move, vy + dvy, vy)
-        now_conv = (dvx * dvx + dvy * dvy < eps * eps) | out_w
-        return vx, vy, converged | now_conv, it + 1
+        move = active0_f * (1.0 - conv) * (1.0 - out_w)
+        vx = vx + move * dvx
+        vy = vy + move * dvy
+        now_conv = jnp.maximum(
+            (dvx * dvx + dvy * dvy < eps * eps).astype(f32), out_w
+        )
+        return vx, vy, jnp.maximum(conv, now_conv)
 
-    vx, vy, _, _ = lax.while_loop(
-        cond,
+    vx, vy, _ = lax.fori_loop(
+        0,
+        iters,
         body,
         (
             v0x.astype(f32),
             v0y.astype(f32),
-            jnp.zeros(v0x.shape, bool),
-            jnp.asarray(0, jnp.int32),
+            jnp.zeros(v0x.shape, f32),
         ),
     )
-    out_ref[...] = jnp.stack(
+    out_ref[...] = jnp.concatenate(
         [vx, vy, solvable.astype(f32)]
-        + [jnp.zeros(vx.shape, f32)] * (out_ref.shape[0] - 3)
+        + [jnp.zeros(vx.shape, f32)] * (out_ref.shape[0] - 3),
+        axis=0,
     )
 
 

@@ -71,21 +71,63 @@ def build_pyramid(
     return [img] + [resize_bilinear(img, s) for s in shapes[1:]]
 
 
+@functools.lru_cache(maxsize=None)
+def _down2_matrix(n_out: int, n_in: int) -> tuple:
+    """Dense (n_out, n_in) banded matrix fusing a 5-tap binomial blur
+    (reflect-101 borders) with 2x decimation: out[i] = sum_k
+    taps[k] * x[reflect(2i + k - 2)]."""
+    import numpy as np
+
+    taps = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+    M = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        for k in range(5):
+            j = 2 * i + k - 2
+            if j < 0:
+                j = -j  # reflect-101
+            elif j > n_in - 1:
+                j = 2 * (n_in - 1) - j
+            M[i, j] += taps[k]
+    return (M,)
+
+
+def _binomial_down2(img: jnp.ndarray) -> jnp.ndarray:
+    """Fused 5-tap binomial blur + 2x decimation as two banded matmuls
+    (exactly `binomial_blur5(img)[..., ::2, ::2]`, reflect-101 borders).
+
+    Replaces the blur-then-strided-slice pyramid step: the lane-dimension
+    stride-2 slice lowered to a gather that measured ~1.5 ms/step in the
+    tracking profile (pyramid.py 'gather' fusions — ~100x the HBM
+    roofline for this stage); banded matmuls ride the MXU and skip the
+    full-resolution intermediate entirely."""
+    H, W = img.shape[-2:]
+    Ho, Wo = -(-H // 2), -(-W // 2)
+    My = jnp.asarray(_down2_matrix(Ho, H)[0])
+    Mx = jnp.asarray(_down2_matrix(Wo, W)[0])
+    acc = jnp.einsum(
+        "oh,...hw->...ow", My, img.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "pw,...hw->...hp", Mx, acc, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.astype(img.dtype)
+
+
 def build_halving_pyramid(
     img: jnp.ndarray, n_levels: int, dtype=None
 ) -> list[jnp.ndarray]:
     """Power-of-2 pyramid for pyramidal LK (cv::buildOpticalFlowPyramid
-    semantics): each level is a 5-tap binomial blur + 2x decimation.
+    semantics): each level is a 5-tap binomial blur + 2x decimation
+    (fused into banded MXU matmuls, `_binomial_down2`).
 
     Level 0 is the input unchanged (detectors read it at full precision);
     `dtype` (e.g. bfloat16) applies to levels 1+ only — their sole consumer
     is the bf16 LK window path, so halving the conv/storage cost there is
     free accuracy-wise."""
-    from .conv import binomial_blur5
-
     levels = [img]
     cur = img if dtype is None else img.astype(dtype)
     for _ in range(n_levels - 1):
-        cur = binomial_blur5(cur)[..., ::2, ::2]
+        cur = _binomial_down2(cur)
         levels.append(cur)
     return levels
