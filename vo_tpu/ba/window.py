@@ -32,8 +32,14 @@ class WindowConfig(NamedTuple):
     min_baseline: float = 0.1  # (:515)
     max_baseline: float = 100.0  # (:516)
     min_landmarks: int = 20
-    max_rot_update: float = 0.5  # rad (:708)
-    max_trans_update: float = 50.0  # (:709)
+    # Per-pose accept gates. The reference's are loose (0.5 rad / 50 m,
+    # :708-709); the shipped defaults are the TIGHT gates from the
+    # round-3 schedule study (BA_ANALYSIS.md §3): on a front-end whose
+    # windows are already near-consistent, large BA pose moves are noise
+    # (solver direction noise compounding through the chain, measured
+    # 1.29x ATE at reference gates vs 0.93x with map + tight gates).
+    max_rot_update: float = 0.03  # rad (reference parity: 0.5)
+    max_trans_update: float = 1.0  # m (reference parity: 50.0)
     # Landmark-build gates (beyond the reference's z>0, :555-572):
     # near-parallel rays triangulated from the window's noisy chained
     # poses produce wild depths (z in the thousands or negative) that LM
@@ -56,6 +62,21 @@ class WindowConfig(NamedTuple):
     # previous solve, damping the random walk.
     map_prior_weight: float = 3.0  # px-cost per meter of map deviation
     map_gate_px: float = 5.0  # reuse reprojection gate (all views)
+    # Cross-window map reuse ON by default: "map + tight gates" was the
+    # best measured schedule variant (BA_ANALYSIS.md §3, 0.93x vs the
+    # 1.29x of the reference-parity fresh-per-window config). The
+    # pipeline (models/vo_ba.py) carries (map_X, map_ok) in its state
+    # when this is set.
+    use_map: bool = True
+    # Adaptive window accept (no reference analogue): every
+    # `holdout_every`-th candidate landmark is EXCLUDED from the solve;
+    # the rewrite is accepted only if the held-out landmarks'
+    # re-triangulated Huber reprojection cost does not worsen under the
+    # refined poses. Rejects overfit/corrupt solves that reduce in-set
+    # cost while degrading geometry — the failure mode that made BA
+    # net-harmful on ATE in rounds 2-3. 0 disables.
+    holdout_every: int = 5
+    min_holdout: int = 8  # fewer held-out points than this -> pass
     ba: BAConfig = BAConfig()
 
 
@@ -186,6 +207,36 @@ def build_landmarks(
     )
 
 
+def _holdout_cost(
+    T_wc: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    hold: jnp.ndarray,
+    delta: float,
+) -> jnp.ndarray:
+    """Huber reprojection cost of the held-out landmarks, each
+    re-triangulated from the poses under evaluation (gauge-invariant:
+    both triangulation and reprojection use the same poses, so a uniform
+    similarity of the window leaves the cost unchanged — the score
+    reflects geometric CONSISTENCY, exactly what BA claims to improve)."""
+    from .schur import _robust_cost
+
+    v = valid & hold[None, :]
+    X = triangulate_window(T_wc, obs, v, K)
+    pc = jnp.einsum("wij,lj->wli", T_wc[:, :3, :3], X) + T_wc[:, None, :3, 3]
+    z = pc[..., 2]
+    zsafe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    proj = pc[..., :2] / zsafe[..., None]
+    uv = proj * jnp.array([K[0, 0], K[1, 1]]) + jnp.array([K[0, 2], K[1, 2]])
+    r2 = jnp.sum((uv - obs) ** 2, axis=-1)
+    good = v & (z > 0.0) & jnp.all(jnp.isfinite(uv), axis=-1)
+    # a view that went degenerate (behind camera / nan) under these
+    # poses is charged the worst-case clamp instead of being dropped
+    r2 = jnp.where(good, jnp.minimum(r2, 1e6), jnp.where(v, 1e6, 0.0))
+    return _robust_cost(r2, v, delta)
+
+
 def run_window_ba(
     st: WindowState, K: jnp.ndarray, cfg: WindowConfig, axis_name=None,
     lmap=None,
@@ -222,21 +273,29 @@ def run_window_ba(
         point_ok = point_ok | reuse
         prior_w = jnp.where(reuse, cfg.map_prior_weight, 0.0)
 
+    # Adaptive-accept holdout split: every holdout_every-th candidate is
+    # withheld from the solve and used only to validate the rewrite.
+    if cfg.holdout_every > 0:
+        hold = point_ok & (jnp.arange(Kcap) % cfg.holdout_every == 0)
+    else:
+        hold = jnp.zeros((Kcap,), bool)
+    solve_ok = point_ok & ~hold
+
     baseline = jnp.linalg.norm(st.poses[1, :3, 3] - st.poses[0, :3, 3])
     ba_ok = (
         (st.count >= W)
         & (baseline > cfg.min_baseline)
         & (baseline < cfg.max_baseline)
-        & (jnp.sum(point_ok) >= cfg.min_landmarks)
+        & (jnp.sum(solve_ok) >= cfg.min_landmarks)
     )
-    point_ok = point_ok & ba_ok  # empty problem when gated off
+    solve_ok = solve_ok & ba_ok  # empty problem when gated off
 
     res = bundle_adjust(
         pose6,
         jnp.where(jnp.isfinite(X), X, 0.0),
         st.obs,
         st.valid,
-        point_ok,
+        solve_ok,
         K,
         config=cfg.ba,
         axis_name=axis_name,
@@ -257,6 +316,20 @@ def run_window_ba(
     )
 
     new_T_wc = make_se3(exp_so3(res.poses[:, :3]), res.poses[:, 3:])
+
+    # Adaptive accept: the refined poses must not worsen the held-out
+    # landmarks' re-triangulated reprojection cost (see _holdout_cost).
+    n_hold = jnp.sum(hold)
+    if cfg.holdout_every > 0:
+        d = cfg.ba.huber_delta
+        c_old = _holdout_cost(T_wc, st.obs, st.valid, K, hold, d)
+        c_new = _holdout_cost(new_T_wc, st.obs, st.valid, K, hold, d)
+        adapt_ok = (c_new <= c_old) | (n_hold < cfg.min_holdout)
+    else:
+        c_old = c_new = jnp.asarray(0.0, jnp.float32)
+        adapt_ok = jnp.asarray(True)
+    pose_ok = pose_ok & adapt_ok
+
     new_poses = jnp.where(
         pose_ok[:, None, None], inv_se3(new_T_wc), st.poses
     )
@@ -264,8 +337,11 @@ def run_window_ba(
         "ba_ran": ba_ok,
         "ba_cost0": res.cost0,
         "ba_cost": res.cost,
-        "ba_landmarks": jnp.sum(point_ok),
+        "ba_landmarks": jnp.sum(solve_ok),
         "ba_accepted": jnp.sum(pose_ok),
+        "ba_holdout_cost0": c_old,
+        "ba_holdout_cost": c_new,
+        "ba_holdout_n": n_hold,
     }
     if lmap is not None:
         # Map update: only on an applied solve; solved landmarks take
@@ -274,11 +350,11 @@ def run_window_ba(
         applied = jnp.any(pose_ok)
         map_X, map_ok = lmap
         new_map = (
-            jnp.where((point_ok & applied)[:, None], res.points, map_X),
-            jnp.where(applied, point_ok, map_ok),
+            jnp.where((solve_ok & applied)[:, None], res.points, map_X),
+            jnp.where(applied, solve_ok, map_ok),
         )
         info["ba_reused"] = jnp.sum(
-            reuse & point_ok
+            reuse & solve_ok
         )
         return new_poses, pose_ok, info, new_map
     return new_poses, pose_ok, info

@@ -65,6 +65,11 @@ class TrackingBAState(NamedTuple):
     prev3d_valid: jnp.ndarray
     pose: jnp.ndarray
     window: WindowState
+    # Cross-window landmark map (WindowConfig.use_map): positions solved
+    # by the previous window, keyed by slot — re-observed points anchor
+    # the next window's scale/heading (ba/window.py run_window_ba lmap).
+    map_X: jnp.ndarray  # (K, 3)
+    map_ok: jnp.ndarray  # (K,)
     frame_idx: jnp.ndarray  # () int32
     key: jax.Array
 
@@ -156,6 +161,8 @@ def _ba_init(feats, img0, key, cfg: VOConfig, wcfg: WindowConfig):
         prev3d_valid=jnp.zeros((Kcap,), bool),
         pose=jnp.eye(4, dtype=jnp.float32),
         window=win,
+        map_X=jnp.zeros((Kcap, 3), jnp.float32),
+        map_ok=jnp.zeros((Kcap,), bool),
         frame_idx=jnp.asarray(0, jnp.int32),
         key=key,
     )
@@ -203,13 +210,24 @@ def _ba_step(
 
     # Window upkeep: on re-detect, re-key slots to the new detection via
     # the same-frame position association (window_remap) so BA survives
-    # fallbacks, as the reference's stored-image re-tracking does.
+    # fallbacks, as the reference's stored-image re-tracking does. The
+    # landmark map is re-keyed by the same association.
     win = window_remap(state.window, *remap) if refresh else state.window
     win = window_push(win, new_pose, pts2, valid)
+    map_X, map_ok = state.map_X, state.map_ok
+    if refresh:
+        old_idx, near_ok = remap
+        map_X = map_X[old_idx]
+        map_ok = map_ok[old_idx] & near_ok
 
     frame_idx = state.frame_idx + 1
     if do_ba:
-        new_win_poses, pose_ok, info = run_window_ba(win, K, wcfg)
+        if wcfg.use_map:
+            new_win_poses, pose_ok, info, (map_X, map_ok) = run_window_ba(
+                win, K, wcfg, lmap=(map_X, map_ok)
+            )
+        else:
+            new_win_poses, pose_ok, info = run_window_ba(win, K, wcfg)
     else:
         info = {
             "ba_ran": jnp.asarray(False),
@@ -233,6 +251,8 @@ def _ba_step(
         prev3d_valid=cur3d_valid,
         pose=new_pose,
         window=win,
+        map_X=map_X,
+        map_ok=map_ok,
         frame_idx=frame_idx,
         key=key,
     )
