@@ -237,7 +237,12 @@ class TestFusedShardedStep:
             jnp.asarray(seq.frame(2), jnp.float32),
             jnp.asarray(seq.K, jnp.float32),
         )
-        # raises on tolerance breach; also pin the strongest observed
-        # invariants: identical association and inlier counts
+        # raises on tolerance breach; also pin the structural invariant:
+        # sharded LK tracking is bitwise-identical, so association counts
+        # match exactly. Inlier counts may flip by a near-threshold point
+        # or two: the in-graph 5-point solver (Jacobi nullspace + GJ,
+        # round 4) is fused differently by XLA in the sharded vs dense
+        # programs, unlike the layout-independent LAPACK custom calls it
+        # replaced, so fp32 rounding at the Sampson threshold differs.
         assert res["n_assoc_delta"] == 0
-        assert res["n_inlier_delta"] == 0
+        assert res["n_inlier_delta"] <= 2

@@ -41,10 +41,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _block_lanes(Sp: int, itemsize: int) -> int:
     """Largest 128-multiple lane block whose TWO window stacks stay under
-    ~6 MB of VMEM (the pallas pipeline double-buffers inputs, and the
-    sampler's intermediates need headroom in the 16 MB budget)."""
+    ~3 MB of VMEM. The budget must leave room for the pipeline's input
+    double-buffering (x2) AND the sampler's f32 intermediates (the
+    aligned-select accumulators are full-stack-sized in f32) — a 6 MB
+    stack budget measured 17.3 MB of scoped VMEM at the KITTI level-0
+    geometry (Sp=57, bf16) and OOM'd the 16 MB limit."""
     nb = 512
-    while nb > 128 and 2 * Sp * Sp * itemsize * nb > 6 * 2**20:
+    while nb > 128 and 2 * Sp * Sp * itemsize * nb > 3 * 2**20:
         nb //= 2
     return nb
 
