@@ -36,11 +36,15 @@ def main():
     K = np.array(
         [[707.0912, 0.0, 601.8873], [0.0, 707.0912, 183.1104], [0.0, 0.0, 1.0]]
     )
+    # PW is bit-exact (pure crop layout); margins change semantics. The
+    # crop's gather traffic scales with N*S*(PW+S), so small panels cut
+    # it ~4x — the floor is panel-build overhead + pid spread.
     variants = [
         ("margin6_pw256", LKConfig(), 256),
         ("margin6_pw128", LKConfig(), 128),
-        ("margin4_pw128", LKConfig(window_margin=4), 128),
-        ("margin4_pw256", LKConfig(window_margin=4), 256),
+        ("margin6_pw64", LKConfig(), 64),
+        ("margin6_pw32", LKConfig(), 32),
+        ("margin4_pw64", LKConfig(window_margin=4), 64),
     ]
     for name, lk_cfg, pw in variants:
         lkmod._PANEL_W = pw

@@ -238,13 +238,16 @@ def _jacobi_sweeps(A: jnp.ndarray, sweeps: int):
         )
         return B, V
 
-    def sweep(carry, _):
-        B, V = carry
+    # Unrolled sweeps (no lax.scan): the sweep loop lowers to a `while`
+    # whose per-iteration carry round-trips and sequencing overhead
+    # dominate for the small/batch-1 problems this serves (profiled:
+    # RANSAC's two batch-1 LO-refit 9x9 Jacobis cost 0.25 ms EACH as
+    # scans — pure latency, not arithmetic). Static unrolling lets XLA
+    # fuse across rounds; k <= 9 and sweeps <= 8 keep the program small.
+    B, V = A, V0
+    for _ in range(sweeps):
         for prs in rounds:
             B, V = rotate_round(B, V, prs)
-        return (B, V), None
-
-    (B, V), _ = lax.scan(sweep, (A, V0), None, length=sweeps)
     return B, V
 
 

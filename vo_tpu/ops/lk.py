@@ -220,7 +220,13 @@ def _sample_windows(
     )
 
 
-_PANEL_W = 256  # panel stride; each panel carries an S-column halo
+# Panel stride; each panel carries an S-column halo. The crop's gather
+# traffic scales with N*S*(PANEL_W + S), so small panels cut it ~4x; the
+# floor is panel-build overhead + halo duplication. Silicon A/B
+# (scripts/bench_lk_knobs.py, 100 full tracking steps, KITTI shape):
+# PW=256 8.53 ms/step, 128 7.66, 64 6.79, 32 6.94 — PW is bit-exact
+# (pure crop layout), so 64 is a free 1.7 ms/step on the flagship.
+_PANEL_W = 64
 
 
 def _crop_windows(

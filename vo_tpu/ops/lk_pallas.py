@@ -13,14 +13,15 @@ sub-pixel sampling, residuals, 2x2 solve, convergence gating — out of
 VMEM/vregs. Per-iteration traffic drops from HBM bandwidth to VMEM
 bandwidth; the loop becomes VPU-bound.
 
-Semantics match `_refine_level(layout="lanes")` except the loop runs
-the full `iters` budget with per-point convergence masking instead of
-the lanes path's 96%-converged block early exit (Mosaic cannot legalize
-scf.while with vector carries, so the loop is a fixed-trip fori; the
-masked extra iterations are VMEM-resident VPU work only). Converged
-points freeze identically; the slowest few points iterate to their own
-convergence — cv2's per-point termination — where the lanes path
-freezes them at the early exit. Endpoints stay inside cv2 parity bounds
+Semantics match `_refine_level(layout="lanes")` except the 96%-converged
+early exit is evaluated PER LANE BLOCK instead of globally (Mosaic
+cannot legalize scf.while with vector carries, so the loop is a
+fixed-trip fori whose body is pl.when-predicated on a scalar
+remaining-count carried between trips; the flow/convergence lane
+vectors live in VMEM scratch refs). An easy block stops issuing vector
+work one trip after it converges; a hard block keeps iterating — so
+some points refine slightly past where the lanes path's global exit
+would freeze them. Endpoints stay inside cv2 parity bounds
 (tests/test_lk_pallas.py).
 """
 
@@ -112,7 +113,7 @@ def _sample_lanes_2d(winp, qx, qy, wp: int, S: int):
 
 
 def _refine_kernel(
-    io_ref, win1_ref, win2_ref, out_ref, *,
+    io_ref, win1_ref, win2_ref, out_ref, vx_ref, vy_ref, conv_ref, *,
     S: int, win: int, iters: int, eps: float, min_eig_threshold: float,
 ):
     f32 = jnp.float32
@@ -149,52 +150,57 @@ def _refine_kernel(
     lo = half - 1.0
     hi = S - half
 
-    # Fixed-trip fori_loop with all-f32 carries: Mosaic cannot legalize
-    # scf.while at all with vector carries ("failed to legalize operation
-    # 'scf.yield'") nor scf.for with i1 vector carries ("failed to
-    # legalize operation 'scf.for'", both measured on the v5e toolchain),
-    # so the lanes path's data-dependent early exit becomes per-point
-    # convergence masking (as a 0/1 f32 lane vector) over the full
-    # `iters` budget. Each iteration is pure VMEM/vreg arithmetic, so
-    # the extra masked iterations cost VPU cycles only — no HBM traffic.
-    # Semantics: every point iterates until ITS OWN convergence (cv2's
-    # per-point termination), where the lanes path freezes the slowest
-    # ~4% when the block-level early exit fires.
+    # Data-dependent trip count WITHOUT scf.while vector carries (Mosaic
+    # rejects those — "failed to legalize operation 'scf.yield'", and
+    # scf.for with i1 vector carries likewise, both measured on the v5e
+    # toolchain): the flow/convergence lane vectors live in VMEM SCRATCH
+    # refs, the fori_loop carries only a scalar remaining-count, and each
+    # iteration body is predicated with pl.when on the same early-exit
+    # rule as the lanes path (`remaining * 25 > n_active0`, i.e. stop
+    # once ~96% of the block's active points converged or froze) — but
+    # evaluated PER LANE BLOCK, so an easy block stops issuing vector
+    # work the trip after it converges while a hard block keeps going.
+    # A skipped trip costs one (1, NB) VMEM read + reduce; an executed
+    # trip is pure VMEM/vreg arithmetic. This is what the fixed-trip
+    # variant lost 2x+ on (A/B: 17.52 ms/step vs lanes 8.43 — it paid
+    # the full 30-iteration budget against a ~10-iteration average).
     active0_f = active0.astype(f32)
+    n_active0 = jnp.maximum(jnp.sum(active0_f), 1.0)
+    vx_ref[...] = v0x.astype(f32)
+    vy_ref[...] = v0y.astype(f32)
+    conv_ref[...] = jnp.zeros(v0x.shape, f32)
 
-    def body(it, carry):
-        vx, vy, conv = carry  # conv: 0/1 f32 (1, NB)
-        q2x = q20x + vx
-        q2y = q20y + vy
-        out_w = (
-            (q2x < lo) | (q2x > hi) | (q2y < lo) | (q2y > hi)
-        ).astype(f32)
-        I = _sample_lanes_2d(win2, q2x, q2y, wp, S)[1:-1, 1:-1]
-        dI = I - T
-        bx = red(dI * Tx)
-        by = red(dI * Ty)
-        dvx = -(gyy * bx - gxy * by) * inv_det
-        dvy = -(-gxy * bx + gxx * by) * inv_det
-        move = active0_f * (1.0 - conv) * (1.0 - out_w)
-        vx = vx + move * dvx
-        vy = vy + move * dvy
-        now_conv = jnp.maximum(
-            (dvx * dvx + dvy * dvy < eps * eps).astype(f32), out_w
-        )
-        return vx, vy, jnp.maximum(conv, now_conv)
+    def body(it, rem):
+        @pl.when(rem * 25.0 > n_active0)
+        def _():
+            vx = vx_ref[...]
+            vy = vy_ref[...]
+            conv = conv_ref[...]
+            q2x = q20x + vx
+            q2y = q20y + vy
+            out_w = (
+                (q2x < lo) | (q2x > hi) | (q2y < lo) | (q2y > hi)
+            ).astype(f32)
+            I = _sample_lanes_2d(win2, q2x, q2y, wp, S)[1:-1, 1:-1]
+            dI = I - T
+            bx = red(dI * Tx)
+            by = red(dI * Ty)
+            dvx = -(gyy * bx - gxy * by) * inv_det
+            dvy = -(-gxy * bx + gxx * by) * inv_det
+            move = active0_f * (1.0 - conv) * (1.0 - out_w)
+            vx_ref[...] = vx + move * dvx
+            vy_ref[...] = vy + move * dvy
+            now_conv = jnp.maximum(
+                (dvx * dvx + dvy * dvy < eps * eps).astype(f32), out_w
+            )
+            conv_ref[...] = jnp.maximum(conv, now_conv)
 
-    vx, vy, _ = lax.fori_loop(
-        0,
-        iters,
-        body,
-        (
-            v0x.astype(f32),
-            v0y.astype(f32),
-            jnp.zeros(v0x.shape, f32),
-        ),
-    )
+        return jnp.sum(active0_f * (1.0 - conv_ref[...]))
+
+    lax.fori_loop(0, iters, body, n_active0)
+    vx = vx_ref[...]
     out_ref[...] = jnp.concatenate(
-        [vx, vy, solvable.astype(f32)]
+        [vx, vy_ref[...], solvable.astype(f32)]
         + [jnp.zeros(vx.shape, f32)] * (out_ref.shape[0] - 3),
         axis=0,
     )
@@ -227,6 +233,11 @@ def _refine_call(
         ],
         out_specs=pl.BlockSpec((8, NB), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, NB), jnp.float32),  # vx
+            pltpu.VMEM((1, NB), jnp.float32),  # vy
+            pltpu.VMEM((1, NB), jnp.float32),  # conv (0/1)
+        ],
         interpret=interpret,
     )(io, win1p, win2p)
 
