@@ -64,6 +64,12 @@ class LKConfig(NamedTuple):
     # motion at that scale (KITTI near-field: ~150 px at level 0 -> ~20 px
     # at level 3)
     coarse_margin: int = 24
+    # block early exit: stop iterating a level once fewer than
+    # 1/exit_mult of the initially-active points are unconverged (the
+    # tail is dominated by divergent tracks). 25 = exit at <4%
+    # remaining; raising the fraction exits earlier at some endpoint
+    # cost — A/B with scripts/bench_lk_knobs.py + the hard-seq ATE.
+    exit_mult: int = 25
     # mesh axis the keypoint batch is sharded over (set by
     # parallel.tracking): the early-exit convergence counts are psum'ed
     # over it so sharded runs take the SAME iteration counts as dense ones
@@ -461,7 +467,7 @@ def _refine_level(
         # change in cv2 endpoint parity); data-dependent trip count
         _, converged, it = carry
         remaining = _gsum(jnp.sum(active0 & ~converged))
-        return (it < config.iters) & (remaining * 25 > n_active0)
+        return (it < config.iters) & (remaining * config.exit_mult > n_active0)
 
     def body(carry):
         v, converged, it = carry
