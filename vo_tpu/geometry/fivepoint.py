@@ -210,15 +210,24 @@ def five_point_essential(
     from .epipolar import _epipolar_rows, project_to_essential
     from .linalg3 import gauss_jordan_solve, null_basis_jacobi
 
+    import os as _os
+
+    _impl = _os.environ.get("VO_TPU_5PT", "jacobi")
     A = _epipolar_rows(pts1, pts2)  # (..., 5, 9)
-    # 4-dim right nullspace of A via one-sided Jacobi (linalg3): pure
-    # batched VPU arithmetic. jnp.linalg.svd on TPU lowers to a
-    # QR+eigh+Cholesky+LU custom-call chain that measured ~3 ms/step
-    # inside the tracking RANSAC (profiler: EighTpu 1.6 ms + Cholesky +
-    # QrDecompositionBlock whiles); any orthonormal nullspace basis is
-    # equivalent for the Nistér construction below.
-    basis9 = null_basis_jacobi(A, 4)  # (..., 4, 9), Vt[5:9] row order
-    basis = basis9.reshape(basis9.shape[:-2] + (4, 3, 3))  # X, Y, Z, W
+    if _impl == "lapack":
+        # LAPACK custom-call path (A/B reference): ~3 ms/step slower in
+        # the tracking RANSAC but the conditioning gold standard.
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        basis = Vt[..., 5:9, :].reshape(Vt.shape[:-2] + (4, 3, 3))
+    else:
+        # 4-dim right nullspace of A via one-sided Jacobi (linalg3): pure
+        # batched VPU arithmetic. jnp.linalg.svd on TPU lowers to a
+        # QR+eigh+Cholesky+LU custom-call chain that measured ~3 ms/step
+        # inside the tracking RANSAC (profiler: EighTpu 1.6 ms + Cholesky
+        # + QrDecompositionBlock whiles); any orthonormal nullspace basis
+        # is equivalent for the Nistér construction below.
+        basis9 = null_basis_jacobi(A, 4)  # (..., 4, 9), Vt[5:9] row order
+        basis = basis9.reshape(basis9.shape[:-2] + (4, 3, 3))  # X, Y, Z, W
 
     coeffs = _constraint_coeffs(basis)  # (..., 10, 20)
 
@@ -227,8 +236,12 @@ def five_point_essential(
     # LuDecompositionBlock custom call measured ~0.6 ms/step here)
     lead_blk = coeffs[..., :, :10]
     trail_blk = coeffs[..., :, 10:]
-    B, gj_ok = gauss_jordan_solve(lead_blk, trail_blk)  # (..., 10, 10)
-    gj_ok = gj_ok & jnp.all(jnp.isfinite(B), axis=(-1, -2))
+    if _impl == "lapack":
+        B = jnp.linalg.solve(lead_blk, trail_blk)  # (..., 10, 10)
+        gj_ok = jnp.all(jnp.isfinite(B), axis=(-1, -2))
+    else:
+        B, gj_ok = gauss_jordan_solve(lead_blk, trail_blk)  # (..., 10, 10)
+        gj_ok = gj_ok & jnp.all(jnp.isfinite(B), axis=(-1, -2))
 
     # Nistér rows: <e> = row(x^2 z) - z*row(x^2)   (indices 4, 5)
     #              <f> = row(y^2 z) - z*row(y^2)   (indices 6, 7)

@@ -125,6 +125,20 @@ def build_halving_pyramid(
     `dtype` (e.g. bfloat16) applies to levels 1+ only — their sole consumer
     is the bf16 LK window path, so halving the conv/storage cost there is
     free accuracy-wise."""
+    import os as _os
+
+    if _os.environ.get("VO_TPU_PYR") == "slice":
+        # A/B reference path: blur then lane-strided slice (the slice
+        # lowers to a slow gather — see _binomial_down2's docstring).
+        from .conv import binomial_blur5
+
+        levels = [img]
+        cur = img if dtype is None else img.astype(dtype)
+        for _ in range(n_levels - 1):
+            cur = binomial_blur5(cur)[..., ::2, ::2]
+            levels.append(cur)
+        return levels
+
     levels = [img]
     cur = img if dtype is None else img.astype(dtype)
     for _ in range(n_levels - 1):
