@@ -52,6 +52,24 @@ def _run(seq, lag: int | None):
     return est, gt, n_fb
 
 
+def test_gate_catches_dip_batched_with_recovery():
+    """A transient health dip must trigger even when it arrives in the
+    same drain batch as a newer healthy value (the 55-vs-146 m stall
+    fork: keying on the newest arrived value alone let host timing mask
+    one-frame dips)."""
+    import jax.numpy as jnp
+
+    gate = _AsyncScalarGate(threshold=150, mode="async")
+    gate.push(jnp.asarray(200))  # healthy
+    gate.push(jnp.asarray(90))  # dip
+    gate.push(jnp.asarray(210))  # recovered — arrives in the same batch
+    assert gate.update() is True
+    # after the trigger, in-flight pre-refresh values must not re-trigger
+    assert gate.update() is False
+    gate.push(jnp.asarray(80))  # post-refresh count still low
+    assert gate.update() is True
+
+
 def test_async_gate_deviation_is_bounded():
     seq = SyntheticSequence.generate(n_frames=24, shape=(240, 320),
                                      n_points=1500)

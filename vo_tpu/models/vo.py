@@ -116,6 +116,11 @@ class FrameOutput(NamedTuple):
     n_assoc: jnp.ndarray  # () tracked/matched count used for the pose
     n_inliers: jnp.ndarray  # () RANSAC inliers
     fallback: jnp.ndarray  # () bool — tracking pipeline re-detected
+    health: jnp.ndarray  # () n_assoc gated by pose success: 0 on pose-hold
+    # frames, so the re-detect gate fires even when LK keeps >=min_tracked
+    # survivors whose geometry is degenerate (the seed-0 stall mode:
+    # survivors stay high while RANSAC inliers stay < min_pose_points
+    # forever and the pose holds to the end of the sequence)
 
 
 def _feature_capacity(cfg: VOConfig) -> int:
@@ -137,9 +142,10 @@ def _pose_scale_chain(
 ):
     """Shared L3 geometry: RANSAC pose + triangulation scale + chaining.
 
-    Returns (new_pose, cur3d, cur3d_valid, scale, n_inliers). Degrades to
-    identity motion when fewer than `min_pose_points` associations survive
-    (the reference would abort; we keep the previous pose)."""
+    Returns (new_pose, cur3d, cur3d_valid, scale, n_inliers, pose_ok).
+    Degrades to identity motion (pose_ok=False) when fewer than
+    `min_pose_points` associations or RANSAC inliers survive (the
+    reference would abort; we keep the previous pose)."""
     fx = K[0, 0]
     p1n = normalize_pixels(pts1, K)
     p2n = normalize_pixels(pts2, K)
@@ -186,7 +192,7 @@ def _pose_scale_chain(
     # Cache the cloud for the next frame's ratio (see VOConfig.scale_chain)
     if cfg.scale_chain == "rescaled":
         X = s[..., None] * X
-    return new_pose, X, cur_valid & enough, s, n_inl
+    return new_pose, X, cur_valid & enough, s, n_inl, enough
 
 
 # ---------------------------------------------------------------- tracking
@@ -201,6 +207,8 @@ class TrackingState(NamedTuple):
     prev3d_valid: jnp.ndarray
     pose: jnp.ndarray  # (4, 4)
     key: jax.Array
+    health: jnp.ndarray  # () previous step's FrameOutput.health (the
+    # in-graph scan gate's trigger signal; mirrors what the host gate sees)
 
 
 class _AsyncScalarGate:
@@ -208,10 +216,15 @@ class _AsyncScalarGate:
 
     Each step enqueues its survivor count (async D2H started); `update()`
     drains whatever has ARRIVED (is_ready, never blocks) and reports
-    whether the newest arrived value — from a step after the last trigger
-    — is below the threshold. On a tunneled TPU (~150 ms readback
-    latency) the decision lags a few frames behind; the device pipeline
-    never stalls."""
+    whether ANY arrived value from a step after the last trigger is
+    below the threshold. "Any", not "newest": several step scalars often
+    arrive in one drain batch on a tunneled TPU (~150 ms readback
+    latency), and keying the decision on the newest alone made a
+    one-frame health dip recoverable or fatal depending on host timing
+    (measured: the same binary scored 55 m or 146 m on the same
+    sequence purely by whether a transient dip arrived alone or
+    batched). The decision still lags a few frames behind; the device
+    pipeline never stalls."""
 
     def __init__(self, threshold: int, mode: str = "async"):
         self.threshold = threshold
@@ -219,15 +232,13 @@ class _AsyncScalarGate:
         self._inbox: list = []  # (step_idx, device scalar)
         self._step = 0
         self._last_trigger = -1
-        self._last_val_idx = -1
-        self._last_val = None
+        self._pending_low = False
 
     def reset(self):
         self._inbox.clear()
         self._step = 0
         self._last_trigger = -1
-        self._last_val_idx = -1
-        self._last_val = None
+        self._pending_low = False
 
     def push(self, scalar) -> None:
         self._step += 1
@@ -245,13 +256,11 @@ class _AsyncScalarGate:
                 if not ready:
                     break
             self._inbox.pop(0)
-            self._last_val_idx, self._last_val = idx, int(arr)
-        trigger = (
-            self._last_val is not None
-            and self._last_val < self.threshold
-            and self._last_val_idx > self._last_trigger
-        )
+            if idx > self._last_trigger and int(arr) < self.threshold:
+                self._pending_low = True
+        trigger = self._pending_low
         if trigger:
+            self._pending_low = False
             self._last_trigger = self._step  # wait for post-refresh counts
         return trigger
 
@@ -300,7 +309,7 @@ class TrackingVO:
             state, out = self._refresh_jit(state, img, f1, f2, self.K)
         else:
             state, out = self._track_jit(state, img, self.K)
-        self._gate.push(out.n_assoc)
+        self._gate.push(out.health)
         return state, out
 
 
@@ -317,6 +326,7 @@ def _tracking_init(feats, img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
         prev3d_valid=jnp.zeros((K_cap,), bool),
         pose=jnp.eye(4, dtype=jnp.float32),
         key=key,
+        health=jnp.sum(feats_valid).astype(jnp.int32),
     )
 
 
@@ -324,10 +334,12 @@ def _finish_tracking_step(
     state, pyr2, cache2, pts1, pts2, valid, K, cfg: VOConfig, fallback: bool
 ):
     key, sub = jax.random.split(state.key)
-    new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
+    new_pose, cur3d, cur3d_valid, s, n_inl, pose_ok = _pose_scale_chain(
         pts1, pts2, valid, K,
         state.prev3d, state.prev3d_valid, state.pose, sub, cfg,
     )
+    n_assoc = jnp.sum(valid).astype(jnp.int32)
+    health = jnp.where(pose_ok, n_assoc, 0)
     new_state = TrackingState(
         pyramid=pyr2,
         lk_cache=cache2,
@@ -337,13 +349,15 @@ def _finish_tracking_step(
         prev3d_valid=cur3d_valid,
         pose=new_pose,
         key=key,
+        health=health,
     )
     out = FrameOutput(
         pose=new_pose,
         scale=s,
-        n_assoc=jnp.sum(valid),
+        n_assoc=n_assoc,
         n_inliers=n_inl,
         fallback=jnp.asarray(fallback),
+        health=health,
     )
     return new_state, out
 
@@ -455,7 +469,7 @@ def _matching_core(
     pts2 = pts2_all[m.idx]
 
     key, sub = jax.random.split(state.key)
-    new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
+    new_pose, cur3d, cur3d_valid, s, n_inl, pose_ok = _pose_scale_chain(
         pts1, pts2, m.valid, K,
         state.prev3d, state.prev3d_valid, state.pose, sub, cfg,
     )
@@ -464,12 +478,14 @@ def _matching_core(
         pts=pts2_all, desc=desc2, valid=valid2,
         prev3d=cur3d, prev3d_valid=cur3d_valid, pose=new_pose, key=key,
     )
+    n_assoc = m.count()
     out = FrameOutput(
         pose=new_pose,
         scale=s,
-        n_assoc=m.count(),
+        n_assoc=n_assoc,
         n_inliers=n_inl,
         fallback=jnp.asarray(False),
+        health=jnp.where(pose_ok, n_assoc, 0).astype(jnp.int32),
     )
     return new_state, out
 
@@ -553,6 +569,7 @@ def run_vo(seq, pipeline, verbose: bool = False, on_frame=None):
                 "n_inliers": int(out.n_inliers),
                 "scale": float(out.scale),
                 "fallback": bool(out.fallback),
+                "health": int(out.health),
             }
         )
 

@@ -148,12 +148,14 @@ def _tf_core(state: ThreeFrameState, feats, K, cfg: VOConfig):
         key=key,
         n_frames=state.n_frames + 1,
     )
+    n_assoc = jnp.sum(trip_valid).astype(jnp.int32)
     out = FrameOutput(
         pose=new_pose,
         scale=s,
-        n_assoc=jnp.sum(trip_valid),
+        n_assoc=n_assoc,
         n_inliers=res.inliers.sum(),
         fallback=jnp.asarray(False),
+        health=jnp.where(enough, n_assoc, 0),
     )
     return new_state, out
 

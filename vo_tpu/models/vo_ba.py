@@ -142,7 +142,7 @@ class TrackingBAVO:
         state, out = self._step_jits[(refresh, do_ba)](
             state, img, self.K, feats=feats
         )
-        self._gate.push(out.frame.n_assoc)
+        self._gate.push(out.frame.health)
         return state, out
 
 
@@ -203,7 +203,7 @@ def _ba_step(
         )
 
     key, sub = jax.random.split(state.key)
-    new_pose, cur3d, cur3d_valid, s, n_inl = _pose_scale_chain(
+    new_pose, cur3d, cur3d_valid, s, n_inl, chain_ok = _pose_scale_chain(
         pts1, pts2, valid, K,
         state.prev3d, state.prev3d_valid, state.pose, sub, cfg,
     )
@@ -256,13 +256,15 @@ def _ba_step(
         frame_idx=frame_idx,
         key=key,
     )
+    n_assoc = jnp.sum(valid).astype(jnp.int32)
     out = BAFrameOutput(
         frame=FrameOutput(
             pose=new_pose,
             scale=s,
-            n_assoc=jnp.sum(valid),
+            n_assoc=n_assoc,
             n_inliers=n_inl,
             fallback=jnp.asarray(refresh),
+            health=jnp.where(chain_ok, n_assoc, 0),
         ),
         window_poses=new_win_poses,
         window_count=win.count,
@@ -326,6 +328,7 @@ def run_vo_ba(seq, pipeline: TrackingBAVO, verbose: bool = False,
                 "n_inliers": int(out.frame.n_inliers),
                 "scale": float(out.frame.scale),
                 "fallback": bool(out.frame.fallback),
+                "health": int(out.frame.health),
                 "ba_ran": bool(out.ba_ran),
                 "ba_cost0": float(out.ba_cost0),
                 "ba_cost": float(out.ba_cost),

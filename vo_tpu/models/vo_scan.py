@@ -65,8 +65,10 @@ def make_scan_fn(pipeline, chunk: int):
     elif isinstance(pipeline, TrackingVO):
 
         def body(st, img):
-            # sync-gate rule: previous step's survivor count
-            low = jnp.sum(st.pts_valid) < cfg.min_tracked
+            # sync-gate rule: previous step's pose-gated survivor count
+            # (FrameOutput.health — 0 on pose-hold frames, so a stalled
+            # chain re-detects instead of holding forever)
+            low = st.health < cfg.min_tracked
             return lax.cond(
                 low,
                 lambda s: _refresh_step(s, img, K, cfg),
@@ -121,6 +123,7 @@ def run_vo_scan(seq, pipeline, chunk: int = 50):
         na_c = np.asarray(outs.n_assoc)
         ni_c = np.asarray(outs.n_inliers)
         fb_c = np.asarray(outs.fallback)
+        he_c = np.asarray(outs.health)
         for j in range(pose_c.shape[0]):
             est_path.append(pose_c[j][[0, 2], 3])
             gt_path.append(gt_poses[i][[0, 2], 3])
@@ -134,6 +137,7 @@ def run_vo_scan(seq, pipeline, chunk: int = 50):
                     "n_inliers": int(ni_c[j]),
                     "scale": float(scale_c[j]),
                     "fallback": bool(fb_c[j]),
+                    "health": int(he_c[j]),
                 }
             )
             i += 1

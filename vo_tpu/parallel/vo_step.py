@@ -53,6 +53,7 @@ def tracking_state_specs(cfg: VOConfig, n_levels: int) -> TrackingState:
         prev3d_valid=P("kp"),
         pose=rep,
         key=rep,
+        health=rep,
     )
 
 
