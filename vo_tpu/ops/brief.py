@@ -77,12 +77,62 @@ def brief_bits(
         )
 
     ok = inb(cx1, cy1) & inb(cx2, cy2)
-    cx1c, cy1c = jnp.clip(cx1, 0, W - 1), jnp.clip(cy1, 0, H - 1)
-    cx2c, cy2c = jnp.clip(cx2, 0, W - 1), jnp.clip(cy2, 0, H - 1)
 
-    s1 = smoothed[cy1c, cx1c]
-    s2 = smoothed[cy2c, cx2c]
+    if os.environ.get("VO_TPU_BRIEF") == "gather":
+        # Direct advanced-index gather: 2 x K*256 scattered elements.
+        # Profiled at ~87 M elements/s on the TPU (8.8 ms each at the
+        # matching capacity) — kept as the A/B reference formulation.
+        cx1c, cy1c = jnp.clip(cx1, 0, W - 1), jnp.clip(cy1, 0, H - 1)
+        cx2c, cy2c = jnp.clip(cx2, 0, W - 1), jnp.clip(cy2, 0, H - 1)
+        s1 = smoothed[cy1c, cx1c]
+        s2 = smoothed[cy2c, cx2c]
+        return (ok & (s1 < s2)).astype(jnp.uint8)
+
+    # Windowed sampling (default): crop one (S, S) window per keypoint
+    # with the LK panel-crop (ops/lk.py _crop_windows — row gathers ride
+    # full tiles), then pick each rotated sample with one-hot row/column
+    # contractions on the MXU. Every output element is a single f32
+    # window value (one-hot weights), so this is bit-exact vs the gather
+    # formulation at ~10x the throughput.
+    s1, s2 = _sample_windows(smoothed, xi[:, 0], yi[:, 0],
+                             (cx1, cy1), (cx2, cy2))
     return (ok & (s1 < s2)).astype(jnp.uint8)
+
+
+# Rotated bit_pattern_31 offsets stay within this radius (max pattern
+# radius 18.39 px); window size = 2 * _BRIEF_RPAD + 1.
+_BRIEF_RPAD = 19
+assert np.hypot(BRIEF_PATTERN[:, [0, 2]], BRIEF_PATTERN[:, [1, 3]]).max() \
+    <= _BRIEF_RPAD - 0.5
+
+
+def _sample_windows(smoothed, xi, yi, pt1, pt2):
+    """Sample the two (K, 256) integer coordinate sets from per-keypoint
+    windows. Coordinates outside the window (only possible for pairs the
+    caller's bounds mask already kills) clip to the window edge."""
+    from .lk import _crop_windows
+
+    S = 2 * _BRIEF_RPAD + 1
+    K = xi.shape[0]
+    pad = [(_BRIEF_RPAD, _BRIEF_RPAD + 1)] * 2
+    padded = jnp.pad(smoothed, pad)
+    # window (k, r, c) = smoothed[yi[k] - RPAD + r, xi[k] - RPAD + c]:
+    # in padded coords the origin is exactly (yi, xi), never clamped.
+    win = _crop_windows(padded, xi, yi, S)  # (K, S, S)
+
+    cx = jnp.concatenate([pt1[0], pt2[0]], axis=1)  # (K, 512)
+    cy = jnp.concatenate([pt1[1], pt2[1]], axis=1)
+    rely = jnp.clip(cy - yi[:, None] + _BRIEF_RPAD, 0, S - 1)
+    relx = jnp.clip(cx - xi[:, None] + _BRIEF_RPAD, 0, S - 1)
+    ar = jnp.arange(S, dtype=jnp.int32)
+    rowsel = (rely[:, :, None] == ar).astype(smoothed.dtype)  # (K, 512, S)
+    colsel = (relx[:, :, None] == ar).astype(smoothed.dtype)
+    rows = jax.lax.dot_general(
+        rowsel, win, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=smoothed.dtype,
+    )  # (K, 512, S)
+    vals = jnp.sum(rows * colsel, axis=-1)  # (K, 512)
+    return vals[:, :256], vals[:, 256:]
 
 
 @jax.jit

@@ -43,5 +43,9 @@ def box_filter5(img: jnp.ndarray) -> jnp.ndarray:
 
     pad = [(0, 0)] * (img.ndim - 2) + [(2, 2), (2, 2)]
     padded = jnp.pad(img, pad)  # zero pad: OOB contributes 0, like integral
-    out = conv2d_valid(padded, jnp.ones((1, 5), img.dtype))
-    return conv2d_valid(out, jnp.ones((5, 1), img.dtype))
+    # NumPy (host-side) kernels, NOT jnp: inside jit a jnp.ones kernel is
+    # a Tracer, which silently routed past conv2d_valid's shifted-add
+    # fast path into lax.conv_general_dilated (~50x off roofline on TPU;
+    # measured 21 ms of a 44 ms detect program for the two box passes).
+    out = conv2d_valid(padded, np.ones((1, 5)))
+    return conv2d_valid(out, np.ones((5, 1)))
