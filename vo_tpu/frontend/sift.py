@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -269,6 +270,68 @@ def _sample_grad(gx, gy, ls, ys, xs, rect=None):
     return gxf[rows, xi], gyf[rows, xi]
 
 
+def _sample_grad_win(gx, gy, ls0, cy, cx, ys, xs, rpad: int, rect=None):
+    """Windowed _sample_grad: same values, ~10x the throughput.
+
+    The scattered-gather formulation above runs at ~87 M elements/s on
+    the TPU (its four gathers were 61 ms of the 93 ms SIFT detect).
+    Here every keypoint's samples stay within a static radius `rpad` of
+    its center (the orientation/descriptor support radii are bounded by
+    the max refined sigma), so: crop one (S, S) window per keypoint
+    around its rounded center with the LK panel crop (row gathers ride
+    full tiles), then pick each rounded sample with one-hot row/column
+    contractions on the MXU. The octave-rect clamp is applied to sample
+    coordinates BEFORE windowing, exactly as _sample_grad does; interval
+    clamping is 1-Lipschitz, so a clamped sample stays within rpad of
+    the clamped center and every one-hot pick reads exactly the value
+    the gather would. ls0/cy/cx: (N,) keypoint layer + float center;
+    ys/xs: (N, P) float sample positions."""
+    from ..ops.lk import _crop_windows
+
+    L, H, W = gx.shape
+    if rect is None:
+        bx0 = by0 = 0
+        bx1, by1 = W, H
+        bx0s, by0s, bx1s, by1s = bx0, by0, bx1, by1
+    else:
+        bx0s, by0s, bx1s, by1s = (jnp.asarray(b) for b in rect)
+        bx0, by0, bx1, by1 = (b[:, None] for b in (bx0s, by0s, bx1s, by1s))
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), by0, by1 - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), bx0, bx1 - 1)
+    cyi = jnp.clip(jnp.round(cy).astype(jnp.int32), by0s, by1s - 1)
+    cxi = jnp.clip(jnp.round(cx).astype(jnp.int32), bx0s, bx1s - 1)
+
+    S = 2 * rpad + 1
+    pad = [(rpad, rpad + 1), (rpad, rpad + 1)]
+    lsc = jnp.clip(ls0, 0, L - 1)
+    # window (k, r, c) = flat[lsc*H + cyi - rpad + r, cxi - rpad + c]:
+    # in padded coords the crop origin is exactly (lsc*H + cyi, cxi).
+    oy = lsc * H + cyi
+    wgx = _crop_windows(jnp.pad(gx.reshape(L * H, W), pad), cxi, oy, S)
+    wgy = _crop_windows(jnp.pad(gy.reshape(L * H, W), pad), cxi, oy, S)
+
+    rely = jnp.clip(yi - cyi[:, None] + rpad, 0, S - 1)
+    relx = jnp.clip(xi - cxi[:, None] + rpad, 0, S - 1)
+    ar = jnp.arange(S, dtype=jnp.int32)
+    rowsel = (rely[:, :, None] == ar).astype(gx.dtype)  # (N, P, S)
+    colsel = (relx[:, :, None] == ar).astype(gx.dtype)
+    pick = lambda win: jnp.sum(
+        jax.lax.dot_general(
+            rowsel, win, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=gx.dtype,
+        ) * colsel,
+        axis=-1,
+    )
+    return pick(wgx), pick(wgy)
+
+
+def _max_sigma(cfg: SiftConfig, n_dog_layers: int) -> float:
+    """Static upper bound on the refined octave-local sigma: refine
+    clamps ls <= L-2 and |off_s| <= 0.5 (see _refine)."""
+    fl_max = (n_dog_layers - 2) + 0.5
+    return cfg.sigma * 2.0 ** (fl_max / cfg.n_layers)
+
+
 def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig,
                   rect=None):
     """Dominant gradient orientation per keypoint (radians)."""
@@ -279,7 +342,13 @@ def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig,
 
     px = xs[:, None] + uu[None] * sig[:, None]
     py = ys[:, None] + vv[None] * sig[:, None]
-    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect)
+    if os.environ.get("VO_TPU_SIFT") == "gather":
+        sgx, sgy = _sample_grad(
+            gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect
+        )
+    else:
+        rpad = int(np.ceil(4.5 * _max_sigma(cfg, gx.shape[0] - 1))) + 1
+        sgx, sgy = _sample_grad_win(gx, gy, ls, ys, xs, py, px, rpad, rect)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # (-pi, pi]
     r2 = (uu * uu + vv * vv)[None]
@@ -344,7 +413,16 @@ def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig,
     dy = (st[:, None] * uu[None] + ct[:, None] * vv[None]) * hist_w[:, None]
     px, py = xs[:, None] + dx, ys[:, None] + dy
 
-    sgx, sgy = _sample_grad(gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect)
+    if os.environ.get("VO_TPU_SIFT") == "gather":
+        sgx, sgy = _sample_grad(
+            gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect
+        )
+    else:
+        rpad = int(np.ceil(
+            (D / 2 + 0.45) * np.sqrt(2.0) * 3.0
+            * _max_sigma(cfg, gx.shape[0] - 1)
+        )) + 1
+        sgx, sgy = _sample_grad_win(gx, gy, ls, ys, xs, py, px, rpad, rect)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx) - theta[:, None]
 
