@@ -7,6 +7,13 @@ on CPU with XLA's forced host device count, per the build plan (SURVEY.md §4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The persistent compile cache (vo_tpu/__init__.py) segfaults jax's cache
+# writer on hosts whose XLA:CPU AOT machine features mismatch the cached
+# artifacts (put_executable_and_time aborts the interpreter near the end of
+# the suite). Tests never benefit from the cache enough to risk that —
+# disable it for every pytest process unless a test explicitly opts in.
+os.environ["VO_TPU_COMPILE_CACHE"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -45,6 +45,57 @@ class TestSaveLoad:
             load_state({"a": jnp.zeros((4,))}, f)
 
 
+class TestGateSnapshot:
+    """The round-4 gate rewrite broke resume silently (VERDICT r4 #1);
+    these pin the host-side gate capture/restore to the live schema."""
+
+    def _runner_with_gate(self):
+        from vo_tpu.models.vo import _AsyncScalarGate
+
+        class FakePipe:
+            pass
+
+        pipe = FakePipe()
+        pipe._gate = _AsyncScalarGate(threshold=150, mode="sync")
+        return CheckpointingRunner(pipe, "/dev/null"), pipe._gate
+
+    def test_pending_low_survives_roundtrip(self):
+        runner, gate = self._runner_with_gate()
+        # a low count arrived (sticky bit set) but the trigger hasn't
+        # fired yet; a resume must preserve the pending re-detect
+        gate.push(np.int32(10))
+        assert gate.update() is True  # fires, resets pending
+        gate.push(np.int32(10))  # below threshold, step > last_trigger...
+        gate._inbox.clear()  # ...but simulate "already drained" state
+        gate._pending_low = True
+        snap = runner._capture_host()
+        assert snap["gate"]["pending_low"] is True
+
+        runner2, gate2 = self._runner_with_gate()
+        runner2._restore_host(snap)
+        assert gate2._pending_low is True
+        assert gate2._step == gate._step
+        assert gate2._last_trigger == gate._last_trigger
+        assert gate2.update() is True  # the pending trigger still fires
+
+    def test_inbox_survives_roundtrip(self):
+        runner, gate = self._runner_with_gate()
+        gate.push(np.int32(500))
+        gate.push(np.int32(7))
+        snap = runner._capture_host()
+        runner2, gate2 = self._runner_with_gate()
+        runner2._restore_host(snap)
+        assert [(i, int(v)) for i, v in gate2._inbox] == [(1, 500), (2, 7)]
+        assert gate2.update() is True  # the enqueued low value triggers
+
+    def test_stale_schema_fails_loudly(self):
+        runner, gate = self._runner_with_gate()
+        snap = runner._capture_host()
+        snap["gate"]["schema"] = 1  # pretend a pre-rewrite checkpoint
+        with pytest.raises(ValueError, match="gate schema"):
+            runner._restore_host(snap)
+
+
 @pytest.mark.slow
 class TestResume:
     def test_resume_matches_uninterrupted(self, tmp_path):

@@ -17,6 +17,19 @@ import os
 import jax
 import numpy as np
 
+# Version tag for the serialized fallback-gate snapshot. Bump whenever
+# _AsyncScalarGate (models/vo.py) changes its host-side state so that a
+# stale checkpoint fails loudly with a version message instead of a
+# generic AttributeError/mismatch deep in resume (the round-4 gate
+# rewrite broke exactly this silently).
+GATE_SCHEMA = 2
+
+# Version tag for the device-state PYTREE layout (leaf set/order). Bump
+# when a pipeline state gains/loses a leaf (e.g. TrackingState.health in
+# round 4) so a stale checkpoint's leaf-count mismatch can name the skew
+# instead of reading as a config error.
+STATE_SCHEMA = 2
+
 
 def save_state(
     state,
@@ -44,6 +57,7 @@ def save_state(
         "treedef": str(treedef),
         "n_leaves": len(leaves),
         "frame_idx": frame_idx,
+        "state_schema": STATE_SCHEMA,
         **(extra_meta or {}),
     }
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
@@ -61,9 +75,16 @@ def load_state(state_like, filename: str):
         leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
     ref_leaves, treedef = jax.tree.flatten(state_like)
     if len(ref_leaves) != len(leaves):
+        got_schema = meta.get("state_schema", 1)
+        hint = (
+            f" (checkpoint state_schema={got_schema}, current "
+            f"{STATE_SCHEMA} — written by an older state layout)"
+            if got_schema != STATE_SCHEMA
+            else " — config/pipeline mismatch"
+        )
         raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, expected {len(ref_leaves)}"
-            " — config/pipeline mismatch"
+            f"checkpoint has {len(leaves)} leaves, expected "
+            f"{len(ref_leaves)}{hint}"
         )
     for i, (a, b) in enumerate(zip(leaves, ref_leaves)):
         if tuple(a.shape) != tuple(np.shape(b)):
@@ -121,10 +142,13 @@ class CheckpointingRunner:
             # crosses a checkpoint boundary behaves exactly like an
             # uncheckpointed one — the gate drains them on its own clock
             h["gate"] = {
+                "schema": GATE_SCHEMA,
                 "step": gate._step,
                 "last_trigger": gate._last_trigger,
-                "last_val_idx": gate._last_val_idx,
-                "last_val": gate._last_val,
+                # the sticky "a low count arrived but hasn't fired yet"
+                # bit — without it a resume would drop a pending
+                # re-detect trigger and diverge from the uninterrupted run
+                "pending_low": bool(gate._pending_low),
                 "pending": [
                     [idx, int(arr)] for idx, arr in gate._inbox
                 ],
@@ -139,13 +163,20 @@ class CheckpointingRunner:
         gate = getattr(p, "_gate", None)
         if gate is not None and "gate" in h:
             g = h["gate"]
+            got = int(g.get("schema", 1))
+            if got != GATE_SCHEMA:
+                raise ValueError(
+                    f"checkpoint gate schema {got} != expected "
+                    f"{GATE_SCHEMA} — the fallback-gate state layout "
+                    "changed since this checkpoint was written; re-run "
+                    "from scratch (old checkpoints are not migratable)"
+                )
             # host ints are fine in the inbox: update() only needs
             # int(arr), and its is_ready probe defaults to True for them
             gate._inbox = [(int(i), int(v)) for i, v in g.get("pending", [])]
             gate._step = int(g["step"])
             gate._last_trigger = int(g["last_trigger"])
-            gate._last_val_idx = int(g["last_val_idx"])
-            gate._last_val = g["last_val"]
+            gate._pending_low = bool(g["pending_low"])
 
     def run(self, seq, verbose: bool = False):
         gt_poses = seq.poses
