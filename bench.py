@@ -252,6 +252,19 @@ def main():
         print(json.dumps(r), flush=True)
         if scan and name in ("tracking_orb", "tracking_sift"):
             print(json.dumps(bench_preset_scan(name, frames, K)), flush=True)
+    if run_all and not synthetic:
+        # Real-motion column rides in every --all run: synthetic KITTI-shape
+        # frames with genuine parallax/rotation reuse the compiled programs
+        # (same shapes), so this adds measurement time only. Perf claims
+        # always carry both columns (rolled + real motion).
+        t = time.perf_counter()
+        frames = load_frames(n_frames, synthetic=True)
+        _log(f"staged {len(frames)} real-motion frames in "
+             f"{time.perf_counter() - t:.1f}s")
+        for name in names:
+            r = bench_preset(name, frames, K)
+            r["metric"] = r["metric"].replace("_fps", "_realmotion_fps")
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
