@@ -42,6 +42,11 @@ import numpy as np
 from jax import lax
 
 from ..geometry.linalg3 import solve3x3
+
+# A/B formulation switch, snapshotted at IMPORT time (the callers are
+# jitted once, so the path is baked in at first trace regardless — set
+# the env var before importing vo_tpu; flipping it later is a no-op).
+_SIFT_IMPL = os.environ.get("VO_TPU_SIFT", "")
 from ..ops.lk import _bilinear
 from ..ops.scalespace import build_scale_space, n_octaves_for
 
@@ -332,28 +337,42 @@ def _max_sigma(cfg: SiftConfig, n_dog_layers: int) -> float:
     return cfg.sigma * 2.0 ** (fl_max / cfg.n_layers)
 
 
+# Sample-grid half-extents, shared between the grids themselves and the
+# _sample_grad_win window radius (rpad) derivations below. The windowed
+# sampler silently CLAMPS out-of-window samples to the window edge, so a
+# grid widened without widening rpad would corrupt samples rather than
+# fail — keep both derived from these constants only (ADVICE r4 #3).
+_ORI_RADIUS_SIG = 4.5  # orientation grid half-extent, in keypoint sigmas
+_DESC_D = 4  # descriptor spatial bins per axis (Lowe 4x4)
+_DESC_HALF_BINS = _DESC_D / 2 + 0.45  # descriptor grid half-extent, bins
+
+
 def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig,
                   rect=None):
     """Dominant gradient orientation per keypoint (radians)."""
     S = cfg.ori_grid
-    u = jnp.linspace(-4.5, 4.5, S, dtype=jnp.float32)
+    u = jnp.linspace(
+        -_ORI_RADIUS_SIG, _ORI_RADIUS_SIG, S, dtype=jnp.float32
+    )
     uu, vv = jnp.meshgrid(u, u, indexing="xy")  # (S, S)
     uu, vv = uu.reshape(-1), vv.reshape(-1)  # (S*S,)
 
     px = xs[:, None] + uu[None] * sig[:, None]
     py = ys[:, None] + vv[None] * sig[:, None]
-    if os.environ.get("VO_TPU_SIFT") == "gather":
+    if _SIFT_IMPL == "gather":
         sgx, sgy = _sample_grad(
             gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect
         )
     else:
-        rpad = int(np.ceil(4.5 * _max_sigma(cfg, gx.shape[0] - 1))) + 1
+        rpad = int(np.ceil(
+            _ORI_RADIUS_SIG * _max_sigma(cfg, gx.shape[0] - 1)
+        )) + 1
         sgx, sgy = _sample_grad_win(gx, gy, ls, ys, xs, py, px, rpad, rect)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # (-pi, pi]
     r2 = (uu * uu + vv * vv)[None]
     w = jnp.exp(-r2 / (2.0 * 1.5 * 1.5)) * mag
-    w = jnp.where(r2 <= 4.5 * 4.5, w, 0.0)
+    w = jnp.where(r2 <= _ORI_RADIUS_SIG**2, w, 0.0)
 
     pos = (ang / (2 * jnp.pi) * 36.0) % 36.0
     hist = _dense_hist(w, pos, 36, circular=True)
@@ -399,10 +418,12 @@ def _orientations(gx, gy, ls, ys, xs, sig, valid, cfg: SiftConfig,
 def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig,
                  rect=None):
     """(N, 128) Lowe descriptors via dense trilinear einsum binning."""
-    D = 4  # spatial bins per axis
+    D = _DESC_D  # spatial bins per axis
     S = cfg.desc_grid
     # sample grid in bin units, covering the d x d histogram support
-    u = jnp.linspace(-D / 2 - 0.45, D / 2 + 0.45, S, dtype=jnp.float32)
+    u = jnp.linspace(
+        -_DESC_HALF_BINS, _DESC_HALF_BINS, S, dtype=jnp.float32
+    )
     uu, vv = jnp.meshgrid(u, u, indexing="xy")
     uu, vv = uu.reshape(-1), vv.reshape(-1)  # (S*S,) in bin units
 
@@ -413,13 +434,13 @@ def _descriptors(gx, gy, ls, ys, xs, sig, theta, cfg: SiftConfig,
     dy = (st[:, None] * uu[None] + ct[:, None] * vv[None]) * hist_w[:, None]
     px, py = xs[:, None] + dx, ys[:, None] + dy
 
-    if os.environ.get("VO_TPU_SIFT") == "gather":
+    if _SIFT_IMPL == "gather":
         sgx, sgy = _sample_grad(
             gx, gy, ls[:, None] * jnp.ones_like(px, jnp.int32), py, px, rect
         )
     else:
         rpad = int(np.ceil(
-            (D / 2 + 0.45) * np.sqrt(2.0) * 3.0
+            _DESC_HALF_BINS * np.sqrt(2.0) * 3.0
             * _max_sigma(cfg, gx.shape[0] - 1)
         )) + 1
         sgx, sgy = _sample_grad_win(gx, gy, ls, ys, xs, py, px, rpad, rect)

@@ -30,9 +30,14 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B solver switch (jacobi | lapack), snapshotted at import — see below.
+_FIVEPT_IMPL = os.environ.get("VO_TPU_5PT", "jacobi")
 
 # ---------------------------------------------------------------------------
 # Monomial machinery (host-side constants, fp64)
@@ -210,9 +215,10 @@ def five_point_essential(
     from .epipolar import _epipolar_rows, project_to_essential
     from .linalg3 import gauss_jordan_solve, null_basis_jacobi
 
-    import os as _os
-
-    _impl = _os.environ.get("VO_TPU_5PT", "jacobi")
+    # snapshotted at import time (module constant): the callers are jitted
+    # once, so the path bakes in at first trace — flipping the env var
+    # mid-process is a documented no-op; set it before importing vo_tpu
+    _impl = _FIVEPT_IMPL
     A = _epipolar_rows(pts1, pts2)  # (..., 5, 9)
     if _impl == "lapack":
         # LAPACK custom-call path (A/B reference): ~3 ms/step slower in

@@ -26,6 +26,12 @@ import numpy as np
 
 from .integral import box_filter5
 
+# A/B formulation switch, snapshotted at IMPORT time: brief_bits is
+# wrapped in a module-level jit, so the chosen path is baked in at first
+# trace anyway — reading the env once makes that explicit (flipping it
+# later in the same process is a documented no-op; set it before import).
+_BRIEF_IMPL = os.environ.get("VO_TPU_BRIEF", "")
+
 _PATTERN_PATH = os.path.join(os.path.dirname(__file__), "brief_pattern.npy")
 BRIEF_PATTERN = np.load(_PATTERN_PATH)  # (256, 4) int32: x1, y1, x2, y2
 _PACK_WEIGHTS = (1 << np.arange(8)).astype(np.uint8)  # LSB-first, Brief.cu:88-92
@@ -78,7 +84,7 @@ def brief_bits(
 
     ok = inb(cx1, cy1) & inb(cx2, cy2)
 
-    if os.environ.get("VO_TPU_BRIEF") == "gather":
+    if _BRIEF_IMPL == "gather":
         # Direct advanced-index gather: 2 x K*256 scattered elements.
         # Profiled at ~87 M elements/s on the TPU (8.8 ms each at the
         # matching capacity) — kept as the A/B reference formulation.
