@@ -21,9 +21,10 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..geometry.se3 import exp_so3, inv_se3, log_so3, make_se3
-from .schur import BAConfig, bundle_adjust
+from .schur import BAConfig, _lsum, bundle_adjust
 
 
 class WindowConfig(NamedTuple):
@@ -214,6 +215,7 @@ def _holdout_cost(
     K: jnp.ndarray,
     hold: jnp.ndarray,
     delta: float,
+    axis_name=None,
 ) -> jnp.ndarray:
     """Huber reprojection cost of the held-out landmarks, each
     re-triangulated from the poses under evaluation (gauge-invariant:
@@ -234,7 +236,7 @@ def _holdout_cost(
     # a view that went degenerate (behind camera / nan) under these
     # poses is charged the worst-case clamp instead of being dropped
     r2 = jnp.where(good, jnp.minimum(r2, 1e6), jnp.where(v, 1e6, 0.0))
-    return _robust_cost(r2, v, delta)
+    return _lsum(_robust_cost(r2, v, delta), axis_name)
 
 
 def run_window_ba(
@@ -275,8 +277,13 @@ def run_window_ba(
 
     # Adaptive-accept holdout split: every holdout_every-th candidate is
     # withheld from the solve and used only to validate the rewrite.
+    # Under a landmark-sharded mesh (axis_name set) the slot index must
+    # be GLOBAL so the holdout set matches the single-device run.
+    gidx = jnp.arange(Kcap)
+    if axis_name is not None:
+        gidx = gidx + lax.axis_index(axis_name) * Kcap
     if cfg.holdout_every > 0:
-        hold = point_ok & (jnp.arange(Kcap) % cfg.holdout_every == 0)
+        hold = point_ok & (gidx % cfg.holdout_every == 0)
     else:
         hold = jnp.zeros((Kcap,), bool)
     solve_ok = point_ok & ~hold
@@ -286,7 +293,7 @@ def run_window_ba(
         (st.count >= W)
         & (baseline > cfg.min_baseline)
         & (baseline < cfg.max_baseline)
-        & (jnp.sum(solve_ok) >= cfg.min_landmarks)
+        & (_lsum(jnp.sum(solve_ok), axis_name) >= cfg.min_landmarks)
     )
     solve_ok = solve_ok & ba_ok  # empty problem when gated off
 
@@ -319,11 +326,15 @@ def run_window_ba(
 
     # Adaptive accept: the refined poses must not worsen the held-out
     # landmarks' re-triangulated reprojection cost (see _holdout_cost).
-    n_hold = jnp.sum(hold)
+    n_hold = _lsum(jnp.sum(hold), axis_name)
     if cfg.holdout_every > 0:
         d = cfg.ba.huber_delta
-        c_old = _holdout_cost(T_wc, st.obs, st.valid, K, hold, d)
-        c_new = _holdout_cost(new_T_wc, st.obs, st.valid, K, hold, d)
+        c_old = _holdout_cost(
+            T_wc, st.obs, st.valid, K, hold, d, axis_name
+        )
+        c_new = _holdout_cost(
+            new_T_wc, st.obs, st.valid, K, hold, d, axis_name
+        )
         adapt_ok = (c_new <= c_old) | (n_hold < cfg.min_holdout)
     else:
         c_old = c_new = jnp.asarray(0.0, jnp.float32)
@@ -337,7 +348,7 @@ def run_window_ba(
         "ba_ran": ba_ok,
         "ba_cost0": res.cost0,
         "ba_cost": res.cost,
-        "ba_landmarks": jnp.sum(solve_ok),
+        "ba_landmarks": _lsum(jnp.sum(solve_ok), axis_name),
         "ba_accepted": jnp.sum(pose_ok),
         "ba_holdout_cost0": c_old,
         "ba_holdout_cost": c_new,
@@ -353,8 +364,6 @@ def run_window_ba(
             jnp.where((solve_ok & applied)[:, None], res.points, map_X),
             jnp.where(applied, solve_ok, map_ok),
         )
-        info["ba_reused"] = jnp.sum(
-            reuse & solve_ok
-        )
+        info["ba_reused"] = _lsum(jnp.sum(reuse & solve_ok), axis_name)
         return new_poses, pose_ok, info, new_map
     return new_poses, pose_ok, info

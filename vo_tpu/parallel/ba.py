@@ -59,3 +59,60 @@ def _ba_block(poses, points, obs, obs_mask, point_mask, K, config, axis):
         poses, points, obs, obs_mask, point_mask, K,
         config=config, axis_name=axis,
     )
+
+
+def sharded_window_ba(
+    mesh: Mesh,
+    st,
+    K: jnp.ndarray,
+    cfg,
+    lmap=None,
+    axis: str = "kp",
+):
+    """The FULL vo_ba window step (ba/window.py run_window_ba — landmark
+    build + gates + holdout adaptive accept + optional map reuse + Schur
+    solve + per-pose accept) with the landmark slot axis sharded.
+
+    Everything per-landmark (triangulation, gating, V-block inverses,
+    point updates, map state) stays shard-local; only scalar gate
+    reductions, the holdout costs, and the reduced 6Wx6W camera system
+    cross the mesh (psum via schur._lsum / run_window_ba(axis_name=...)).
+    The holdout selection uses GLOBAL slot indices, so results match the
+    single-device window bit-for-bit up to reduction reassociation.
+
+    `st` is a ba/window.py WindowState whose capacity divides the axis
+    size; `lmap` the optional (map_X (K,3), map_ok (K,)) pair."""
+    from ..ba.window import WindowConfig, WindowState, run_window_ba
+
+    assert isinstance(cfg, WindowConfig)
+    lm, rep = P(axis), P()
+    in_specs = [
+        WindowState(poses=rep, obs=P(None, axis), valid=P(None, axis),
+                    count=rep),
+        rep,
+    ]
+    out_specs = [rep, rep, {
+        "ba_ran": rep, "ba_cost0": rep, "ba_cost": rep,
+        "ba_landmarks": rep, "ba_accepted": rep,
+        "ba_holdout_cost0": rep, "ba_holdout_cost": rep,
+        "ba_holdout_n": rep,
+    }]
+    args = [st, K]
+    if lmap is not None:
+        in_specs.append((lm, lm))
+        out_specs[2] = dict(out_specs[2], ba_reused=rep)
+        out_specs.append((lm, lm))
+        args.append(lmap)
+
+    def block(st_, K_, *rest):
+        return run_window_ba(
+            st_, K_, cfg, axis_name=axis,
+            lmap=rest[0] if rest else None,
+        )
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=tuple(in_specs), out_specs=tuple(out_specs),
+        check_vma=False,
+    )
+    return fn(*args)
