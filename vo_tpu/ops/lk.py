@@ -120,18 +120,33 @@ def _window_origins(c, S, Hl, Wl):
     return ox, oy
 
 
+def _lanes_width(N: int, config: LKConfig) -> int:
+    """Stored lane count. The pallas layout rounds up to the 128-lane
+    grid so the kernel call never re-pads the stacks (a jnp.pad there
+    is two full-stack HBM copies per level per step; pre-padding here
+    fuses into the crop/transpose producer). The lanes layout keeps the
+    exact count — every aligned-select pass scales with lane width."""
+    if config.layout == "pallas":
+        return (N + 127) // 128 * 128
+    return N
+
+
 def _to_layout(win_nss: jnp.ndarray, config: LKConfig) -> jnp.ndarray:
     """(N, S, S) crop -> storage layout (lanes stacks are pre-padded so
     the per-iteration sampler never pads)."""
     if config.layout != "batch":
-        return _pad_lanes(jnp.transpose(win_nss, (1, 2, 0)))
+        win = _pad_lanes(jnp.transpose(win_nss, (1, 2, 0)), config)
+        pad = _lanes_width(win.shape[2], config) - win.shape[2]
+        if pad:
+            win = jnp.pad(win, ((0, 0), (0, 0), (0, pad)))
+        return win
     return win_nss
 
 
 def _zero_win(N: int, config: LKConfig) -> jnp.ndarray:
     dt = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     if config.layout != "batch":
-        return jnp.zeros((1, 1, N), dt)
+        return jnp.zeros((1, 1, _lanes_width(N, config)), dt)
     return jnp.zeros((N, 1, 1), dt)
 
 
@@ -350,12 +365,26 @@ def _sample_windows_lanes(
     )
 
 
-def _pad_lanes(win: jnp.ndarray) -> jnp.ndarray:
-    """(S, S, N) -> (S + 10, S + 10, N): one zero row/col before, nine
-    after — covers the o in [-1, S - wp + 1] alignment range, the +1
-    blend lookahead, and the two-level 8-blocked select's up-to-7-row
-    overshoot (block starts are 8-aligned)."""
-    return jnp.pad(win, ((1, 9), (1, 9), (0, 0)))
+def _lanes_pad_after(config: LKConfig | None = None) -> int:
+    """Trailing zero-pad rows of the lanes stacks: nine covers the
+    o in [-1, S - wp + 1] alignment range, the +1 blend lookahead, and
+    the two-level 8-blocked select's up-to-7-row overshoot (block
+    starts are 8-aligned). The pallas layout's GUARD patch extraction
+    reads 2*_GUARD further (ops/lk_pallas.py _extract_guard_patch)."""
+    if config is not None and config.layout == "pallas":
+        from .lk_pallas import _GUARD
+
+        return 9 + 2 * _GUARD
+    return 9
+
+
+def _pad_lanes(
+    win: jnp.ndarray, config: LKConfig | None = None
+) -> jnp.ndarray:
+    """(S, S, N) -> (S + 1 + pad_after, ..., N) zero-padded stack (one
+    row/col before; see _lanes_pad_after)."""
+    pa = _lanes_pad_after(config)
+    return jnp.pad(win, ((1, pa), (1, pa), (0, 0)))
 
 
 def _refine_level(
