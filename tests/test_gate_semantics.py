@@ -70,6 +70,43 @@ def test_gate_catches_dip_batched_with_recovery():
     assert gate.update() is True
 
 
+class _NeverReady:
+    """Device-scalar stand-in whose async copy never completes — the
+    tunneled-TPU failure mode under a pure-dispatch host loop (run_vo
+    fetches nothing until after the loop, so is_ready() never flips)."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def is_ready(self):
+        return False
+
+    def __int__(self):
+        return self.v
+
+
+def test_gate_staleness_bound_forces_drain():
+    """Entries older than gate_max_lag dispatches must drain BLOCKING
+    even when is_ready() never reports true — without this the gate was
+    measured inert over whole sequences (tracking_sift clean seed 0:
+    fallbacks=0 for 1000 frames, 146 m stall)."""
+    gate = _AsyncScalarGate(threshold=150, mode="async", max_lag=8)
+    fired_at = None
+    for i in range(1, 20):
+        gate.push(_NeverReady(90))  # below threshold, never ready
+        if gate.update():
+            fired_at = i
+            break
+    # entry from step 1 drains once the lag bound is reached
+    assert fired_at is not None and fired_at <= 9, fired_at
+    # healthy post-refresh counts: the stale-drain path must not
+    # re-trigger off them (pre-refresh 90s still in flight are ignored:
+    # their step index predates the trigger)
+    for _ in range(32):
+        gate.push(_NeverReady(200))
+        assert gate.update() is False
+
+
 def test_async_gate_deviation_is_bounded():
     seq = SyntheticSequence.generate(n_frames=24, shape=(240, 320),
                                      n_points=1500)

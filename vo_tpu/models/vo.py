@@ -88,6 +88,31 @@ class VOConfig(NamedTuple):
     # for it every frame (bit-reproducible runs; cheap when the device is
     # local/CPU).
     fallback_gate: str = "async"
+    # Bounded staleness for the async gate: block on any survivor count
+    # older than this many dispatched steps. Without the bound the drain
+    # depends on is_ready(), which on the tunneled TPU only flips once
+    # compute+transfer finish — a pure-dispatch run (run_vo fetches
+    # nothing until the end) NEVER drains and the re-detect gate is
+    # silently inert (measured: tracking_sift clean seed 0, fallbacks=0
+    # over 1000 frames while health sat under the threshold -> 146 m
+    # stall; the same binary re-detects fine when anything forces
+    # per-frame materialization). The bound also caps host run-ahead,
+    # so a trigger applies at most gate_max_lag frames after the
+    # condition (the reference checks synchronously every frame,
+    # feature_tracking.cpp:207-210). Throughput note: the device queue
+    # holds the max_lag newer steps, so the device stays busy as long
+    # as max_lag * step_time exceeds the D2H latency.
+    gate_max_lag: int = 32
+    # Tiered lane capacity (TrackingVO only): when the async survivor
+    # count drops under 90% of a tier, the state is compacted to that
+    # many lanes and tracking continues in a smaller compiled program —
+    # LK cost scales with ALLOCATED lanes, not live tracks, so decayed
+    # stretches between re-detects run at a fraction of full-capacity
+    # cost. A re-detect expands back to full capacity. Descending tuple
+    # of capacities (e.g. (1536, 768)); empty disables. Compaction is a
+    # pure deterministic slot renumbering (valid slots first, stable
+    # order), so matched-scale index pairing is preserved exactly.
+    tier_capacities: tuple = ()
 
 
 def detect_and_describe(img: jnp.ndarray, cfg: "VOConfig"):
@@ -226,19 +251,31 @@ class _AsyncScalarGate:
     batched). The decision still lags a few frames behind; the device
     pipeline never stalls."""
 
-    def __init__(self, threshold: int, mode: str = "async"):
+    def __init__(self, threshold: int, mode: str = "async",
+                 max_lag: int = 32):
         self.threshold = threshold
         self.mode = mode
+        self.max_lag = max_lag
         self._inbox: list = []  # (step_idx, device scalar)
         self._step = 0
         self._last_trigger = -1
         self._pending_low = False
+        self._latest = None  # newest drained (step_idx, value)
 
     def reset(self):
         self._inbox.clear()
         self._step = 0
         self._last_trigger = -1
         self._pending_low = False
+        self._latest = None
+
+    def latest_since_trigger(self):
+        """Newest drained value measured AFTER the last trigger fired,
+        or None — the tier logic must not act on counts from before a
+        re-detect restored the track set."""
+        if self._latest is None or self._latest[0] <= self._last_trigger:
+            return None
+        return self._latest[1]
 
     def push(self, scalar) -> None:
         self._step += 1
@@ -252,17 +289,89 @@ class _AsyncScalarGate:
         while self._inbox:
             idx, arr = self._inbox[0]
             if self.mode == "async":
+                # Bounded staleness (VOConfig.gate_max_lag): entries at
+                # or past the lag bound are drained BLOCKING — is_ready
+                # alone never flips on a pure-dispatch tunneled-TPU run,
+                # which left the gate inert for whole sequences.
+                stale = self._step - idx >= self.max_lag
                 ready = getattr(arr, "is_ready", lambda: True)()
-                if not ready:
+                if not stale and not ready:
                     break
             self._inbox.pop(0)
-            if idx > self._last_trigger and int(arr) < self.threshold:
+            val = int(arr)
+            self._latest = (idx, val)
+            if idx > self._last_trigger and val < self.threshold:
                 self._pending_low = True
         trigger = self._pending_low
         if trigger:
             self._pending_low = False
             self._last_trigger = self._step  # wait for post-refresh counts
         return trigger
+
+
+def _lane_axis(cfg: VOConfig) -> int:
+    """Axis of the keypoint lanes in the LK window storage (ops/lk.py):
+    'lanes'/'pallas' store (S+10, S+10, N); 'batch' stores (N, S, S)."""
+    return 2 if cfg.lk.layout != "batch" else 0
+
+
+def _compact_tracking_state(
+    state: TrackingState, k_small: int, cfg: VOConfig
+) -> TrackingState:
+    """Deterministic slot compaction to `k_small` lanes: valid slots
+    first in stable slot order, then dead slots. pts/prev3d move
+    together, so matched-scale index pairing is preserved exactly; the
+    only observable change is the slot numbering (and with it the
+    unmatched-mode pair permutation, which tracking does not use)."""
+    from ..ops.lk import _lanes_width
+
+    idx = jnp.argsort(~state.pts_valid, stable=True)[:k_small]
+    ax = _lane_axis(cfg)
+    # window stacks keep the layout's canonical width (pallas stores
+    # 128-aligned lanes); extra lanes carry junk that no consumer reads
+    lw = _lanes_width(k_small, cfg.lk) if ax == 2 else k_small
+    widx = jnp.pad(idx, (0, lw - k_small))
+    wins = tuple(jnp.take(w, widx, axis=ax) for w in state.lk_cache.wins)
+    origins = tuple(o[idx] for o in state.lk_cache.origins)
+    return state._replace(
+        lk_cache=LKCache(wins=wins, origins=origins),
+        pts=state.pts[idx],
+        pts_valid=state.pts_valid[idx],
+        prev3d=state.prev3d[idx],
+        prev3d_valid=state.prev3d_valid[idx],
+    )
+
+
+def _expand_tracking_state(
+    state: TrackingState, k_full: int, cfg: VOConfig
+) -> TrackingState:
+    """Pad a compacted state back to full capacity with dead slots (the
+    masked fixed-shape semantics make padding inert)."""
+    from ..ops.lk import _lanes_width
+
+    k = state.pts.shape[0]
+    pad = k_full - k
+    if pad <= 0:
+        return state
+    ax = _lane_axis(cfg)
+
+    def padlane(x, axis, to):
+        widths = [
+            (0, max(0, to - x.shape[axis])) if a == axis else (0, 0)
+            for a in range(x.ndim)
+        ]
+        return jnp.pad(x, widths)
+
+    lw = _lanes_width(k_full, cfg.lk) if ax == 2 else k_full
+    wins = tuple(padlane(w, ax, lw) for w in state.lk_cache.wins)
+    origins = tuple(padlane(o, 0, k_full) for o in state.lk_cache.origins)
+    return state._replace(
+        lk_cache=LKCache(wins=wins, origins=origins),
+        pts=padlane(state.pts, 0, k_full),
+        pts_valid=padlane(state.pts_valid, 0, k_full),
+        prev3d=padlane(state.prev3d, 0, k_full),
+        prev3d_valid=padlane(state.prev3d_valid, 0, k_full),
+    )
 
 
 class TrackingVO:
@@ -293,21 +402,70 @@ class TrackingVO:
         self._refresh_jit = jax.jit(
             functools.partial(_refresh_core, cfg=config)
         )
-        self._gate = _AsyncScalarGate(config.min_tracked, config.fallback_gate)
+        self._gate = _AsyncScalarGate(
+            config.min_tracked, config.fallback_gate, config.gate_max_lag
+        )
+        # Tiered lane capacity (VOConfig.tier_capacities): host-side
+        # current capacity + per-tier compaction programs. Same jitted
+        # step functions serve every tier (jax recompiles per shape).
+        self.tiers = tuple(sorted(set(config.tier_capacities), reverse=True))
+        assert all(0 < t < self.capacity for t in self.tiers), (
+            "tier_capacities must be strictly below the feature capacity"
+        )
+        self._tier = self.capacity
+        self._compact_jit = jax.jit(
+            functools.partial(_compact_tracking_state, cfg=config),
+            static_argnames=("k_small",),
+        )
+        self._expand_jit = jax.jit(
+            functools.partial(
+                _expand_tracking_state, k_full=self.capacity, cfg=config
+            )
+        )
 
     def init(self, img0: np.ndarray, seed: int = 0) -> TrackingState:
         self._gate.reset()
+        self._tier = self.capacity
         img0 = jnp.asarray(img0, jnp.float32)
         feats = self._detect_jit(img0)
         return self._init_jit(feats, img0, jax.random.PRNGKey(seed))
 
+    def expand_state(self, state: TrackingState) -> TrackingState:
+        """Full-capacity copy of a (possibly tier-compacted) state —
+        checkpoints are always written at full capacity so a resume
+        never depends on the host tier cursor."""
+        if state.pts.shape[0] == self.capacity:
+            return state
+        return self._expand_jit(state)
+
+    def _pick_tier(self) -> int:
+        """Smallest tier whose 90% fill holds the newest post-refresh
+        survivor count; tracks only decay between refreshes, so tiers
+        only shrink here (refresh restores full capacity)."""
+        val = self._gate.latest_since_trigger()
+        if val is None:
+            return self._tier
+        t = self._tier
+        for cap in self.tiers:
+            if cap < t and val <= 0.9 * cap:
+                t = cap
+        return t
+
     def step(self, state: TrackingState, img: np.ndarray):
         img = jnp.asarray(img, jnp.float32)
         if self._gate.update():
+            if self._tier != self.capacity:
+                state = self._expand_jit(state)
+                self._tier = self.capacity
             f1 = self._detect_jit(state.pyramid[0])
             f2 = self._detect_jit(img)
             state, out = self._refresh_jit(state, img, f1, f2, self.K)
         else:
+            if self.tiers:
+                tier = self._pick_tier()
+                if tier != self._tier:
+                    state = self._compact_jit(state, k_small=tier)
+                    self._tier = tier
             state, out = self._track_jit(state, img, self.K)
         self._gate.push(out.health)
         return state, out

@@ -111,7 +111,9 @@ class TrackingBAVO:
         }
         from .vo import _AsyncScalarGate
 
-        self._gate = _AsyncScalarGate(config.min_tracked, config.fallback_gate)
+        self._gate = _AsyncScalarGate(
+            config.min_tracked, config.fallback_gate, config.gate_max_lag
+        )
         self._frame_idx = 0
         self._win_fill = 0
 

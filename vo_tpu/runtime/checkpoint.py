@@ -208,6 +208,13 @@ class CheckpointingRunner:
                 print(f"resumed at frame {start}")
 
         def _save(i, st):
+            # Tiered pipelines (VOConfig.tier_capacities) may hold a
+            # compacted state; checkpoints are written at full capacity
+            # so resume never depends on the host tier cursor (the
+            # resumed run re-compacts on its own once counts arrive).
+            expand = getattr(self.pipeline, "expand_state", None)
+            if expand is not None:
+                st = expand(st)
             tmp = side + ".tmp.npz"
             np.savez(
                 tmp,
