@@ -88,6 +88,21 @@ class TestGateSnapshot:
         assert [(i, int(v)) for i, v in gate2._inbox] == [(1, 500), (2, 7)]
         assert gate2.update() is True  # the enqueued low value triggers
 
+    def test_inbox_vec_entries_roundtrip(self):
+        """(2,) [dip latch, count] gate-feed entries (FrameOutput.gate)
+        survive capture/restore with latch semantics intact."""
+        runner, gate = self._runner_with_gate()
+        gate.push(np.asarray([0, 500], np.int32))
+        gate.push(np.asarray([1, 400], np.int32))  # latched dip
+        snap = runner._capture_host()
+        runner2, gate2 = self._runner_with_gate()
+        runner2._restore_host(snap)
+        assert [(i, v.tolist()) for i, v in gate2._inbox] == [
+            (1, [0, 500]), (2, [1, 400])
+        ]
+        # the latch (not the count-vs-threshold rule) drives the trigger
+        assert gate2.update() is True
+
     def test_stale_schema_fails_loudly(self):
         runner, gate = self._runner_with_gate()
         snap = runner._capture_host()

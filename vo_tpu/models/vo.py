@@ -146,6 +146,13 @@ class FrameOutput(NamedTuple):
     # survivors whose geometry is degenerate (the seed-0 stall mode:
     # survivors stay high while RANSAC inliers stay < min_pose_points
     # forever and the pose holds to the end of the sequence)
+    gate: jnp.ndarray  # (2,) int32 [dip latch, health] — the packed gate
+    # feed (_AsyncScalarGate): element 0 is the DEVICE-accumulated
+    # "any health dip since the last re-detect" latch, so ONE fetch of
+    # the newest arrived value answers the trigger question exactly and
+    # the host never has to read every per-frame scalar (each blocking
+    # read costs a full tunnel RTT); element 1 is the current survivor
+    # count for the tier scheduler
 
 
 def _feature_capacity(cfg: VOConfig) -> int:
@@ -234,6 +241,10 @@ class TrackingState(NamedTuple):
     key: jax.Array
     health: jnp.ndarray  # () previous step's FrameOutput.health (the
     # in-graph scan gate's trigger signal; mirrors what the host gate sees)
+    dipped: jnp.ndarray  # () int32 sticky "any health < min_tracked since
+    # the last re-detect" latch, accumulated ON DEVICE — the async gate
+    # fetches only the newest arrived (dipped, health) pair and still
+    # answers "did any frame dip" exactly (FrameOutput.gate)
 
 
 class _AsyncScalarGate:
@@ -285,6 +296,23 @@ class _AsyncScalarGate:
             pass
         self._inbox.append((self._step, scalar))
 
+    def _apply(self, idx, arr) -> None:
+        """Consume one drained entry. A (2,) vector is the packed
+        [dip latch, count] gate feed (FrameOutput.gate): the latch is
+        device-accumulated since the last re-detect, so the newest value
+        alone answers "did any frame dip" exactly. A scalar entry is a
+        plain count (legacy/tests): dip = count < threshold at that
+        step only."""
+        v = np.asarray(arr)
+        if v.ndim:
+            low, val = bool(v[0]), int(v[1])
+        else:
+            val = int(v)
+            low = val < self.threshold
+        self._latest = (idx, val)
+        if idx > self._last_trigger and low:
+            self._pending_low = True
+
     def update(self) -> bool:
         while self._inbox:
             idx, arr = self._inbox[0]
@@ -292,16 +320,18 @@ class _AsyncScalarGate:
                 # Bounded staleness (VOConfig.gate_max_lag): entries at
                 # or past the lag bound are drained BLOCKING — is_ready
                 # alone never flips on a pure-dispatch tunneled-TPU run,
-                # which left the gate inert for whole sequences.
+                # which left the gate inert for whole sequences
+                # (measured: fallbacks=0 over 1000 frames while health
+                # sat under the threshold -> the 146 m stall). A
+                # blocking fetch of an already-computed scalar is cheap
+                # (~0 measured in the driver bench); only is_ready is
+                # unreliable on this backend.
                 stale = self._step - idx >= self.max_lag
                 ready = getattr(arr, "is_ready", lambda: True)()
                 if not stale and not ready:
                     break
             self._inbox.pop(0)
-            val = int(arr)
-            self._latest = (idx, val)
-            if idx > self._last_trigger and val < self.threshold:
-                self._pending_low = True
+            self._apply(idx, arr)
         trigger = self._pending_low
         if trigger:
             self._pending_low = False
@@ -467,7 +497,7 @@ class TrackingVO:
                     state = self._compact_jit(state, k_small=tier)
                     self._tier = tier
             state, out = self._track_jit(state, img, self.K)
-        self._gate.push(out.health)
+        self._gate.push(out.gate)
         return state, out
 
 
@@ -485,6 +515,9 @@ def _tracking_init(feats, img0: jnp.ndarray, key: jax.Array, cfg: VOConfig):
         pose=jnp.eye(4, dtype=jnp.float32),
         key=key,
         health=jnp.sum(feats_valid).astype(jnp.int32),
+        dipped=(
+            jnp.sum(feats_valid) < cfg.min_tracked
+        ).astype(jnp.int32),
     )
 
 
@@ -498,6 +531,10 @@ def _finish_tracking_step(
     )
     n_assoc = jnp.sum(valid).astype(jnp.int32)
     health = jnp.where(pose_ok, n_assoc, 0)
+    dip_now = (health < cfg.min_tracked).astype(jnp.int32)
+    # the latch resets on a re-detect (static branch: fallback is a
+    # trace-time bool) and accumulates across track steps
+    dipped = dip_now if fallback else jnp.maximum(state.dipped, dip_now)
     new_state = TrackingState(
         pyramid=pyr2,
         lk_cache=cache2,
@@ -508,6 +545,7 @@ def _finish_tracking_step(
         pose=new_pose,
         key=key,
         health=health,
+        dipped=dipped,
     )
     out = FrameOutput(
         pose=new_pose,
@@ -516,6 +554,7 @@ def _finish_tracking_step(
         n_inliers=n_inl,
         fallback=jnp.asarray(fallback),
         health=health,
+        gate=jnp.stack([dipped, health]),
     )
     return new_state, out
 
@@ -644,6 +683,12 @@ def _matching_core(
         n_inliers=n_inl,
         fallback=jnp.asarray(False),
         health=jnp.where(pose_ok, n_assoc, 0).astype(jnp.int32),
+        # matching has no re-detect gate; per-frame dip flag for parity
+        gate=jnp.stack([
+            (jnp.where(pose_ok, n_assoc, 0) < cfg.min_tracked
+             ).astype(jnp.int32),
+            jnp.where(pose_ok, n_assoc, 0).astype(jnp.int32),
+        ]),
     )
     return new_state, out
 

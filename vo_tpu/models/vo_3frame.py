@@ -156,6 +156,12 @@ def _tf_core(state: ThreeFrameState, feats, K, cfg: VOConfig):
         n_inliers=res.inliers.sum(),
         fallback=jnp.asarray(False),
         health=jnp.where(enough, n_assoc, 0),
+        # no re-detect gate in the 3-frame driver; per-frame dip flag
+        gate=jnp.stack([
+            (jnp.where(enough, n_assoc, 0) < cfg.min_tracked
+             ).astype(jnp.int32),
+            jnp.where(enough, n_assoc, 0).astype(jnp.int32),
+        ]),
     )
     return new_state, out
 

@@ -72,6 +72,8 @@ class TrackingBAState(NamedTuple):
     map_ok: jnp.ndarray  # (K,)
     frame_idx: jnp.ndarray  # () int32
     key: jax.Array
+    dipped: jnp.ndarray  # () int32 sticky dip latch (see
+    # models/vo.py TrackingState.dipped / FrameOutput.gate)
 
 
 class TrackingBAVO:
@@ -144,7 +146,7 @@ class TrackingBAVO:
         state, out = self._step_jits[(refresh, do_ba)](
             state, img, self.K, feats=feats
         )
-        self._gate.push(out.frame.health)
+        self._gate.push(out.frame.gate)
         return state, out
 
 
@@ -167,6 +169,9 @@ def _ba_init(feats, img0, key, cfg: VOConfig, wcfg: WindowConfig):
         map_ok=jnp.zeros((Kcap,), bool),
         frame_idx=jnp.asarray(0, jnp.int32),
         key=key,
+        dipped=(
+            jnp.sum(feats_valid) < cfg.min_tracked
+        ).astype(jnp.int32),
     )
 
 
@@ -257,8 +262,13 @@ def _ba_step(
         map_ok=map_ok,
         frame_idx=frame_idx,
         key=key,
+        dipped=state.dipped,  # replaced below once health is known
     )
     n_assoc = jnp.sum(valid).astype(jnp.int32)
+    health = jnp.where(chain_ok, n_assoc, 0)
+    dip_now = (health < cfg.min_tracked).astype(jnp.int32)
+    dipped = dip_now if refresh else jnp.maximum(state.dipped, dip_now)
+    new_state = new_state._replace(dipped=dipped)
     out = BAFrameOutput(
         frame=FrameOutput(
             pose=new_pose,
@@ -266,7 +276,8 @@ def _ba_step(
             n_assoc=n_assoc,
             n_inliers=n_inl,
             fallback=jnp.asarray(refresh),
-            health=jnp.where(chain_ok, n_assoc, 0),
+            health=health,
+            gate=jnp.stack([dipped, health]),
         ),
         window_poses=new_win_poses,
         window_count=win.count,

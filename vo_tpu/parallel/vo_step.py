@@ -54,6 +54,7 @@ def tracking_state_specs(cfg: VOConfig, n_levels: int) -> TrackingState:
         pose=rep,
         key=rep,
         health=rep,
+        dipped=rep,
     )
 
 

@@ -22,13 +22,13 @@ import numpy as np
 # stale checkpoint fails loudly with a version message instead of a
 # generic AttributeError/mismatch deep in resume (the round-4 gate
 # rewrite broke exactly this silently).
-GATE_SCHEMA = 2
+GATE_SCHEMA = 3  # 3: inbox entries are (2,) [dip latch, count] vectors
 
 # Version tag for the device-state PYTREE layout (leaf set/order). Bump
 # when a pipeline state gains/loses a leaf (e.g. TrackingState.health in
 # round 4) so a stale checkpoint's leaf-count mismatch can name the skew
 # instead of reading as a config error.
-STATE_SCHEMA = 2
+STATE_SCHEMA = 3  # 3: TrackingState/TrackingBAState gained the dipped latch leaf
 
 
 def save_state(
@@ -149,8 +149,12 @@ class CheckpointingRunner:
                 # bit — without it a resume would drop a pending
                 # re-detect trigger and diverge from the uninterrupted run
                 "pending_low": bool(gate._pending_low),
+                # entries are (2,) [dip latch, count] vectors
+                # (FrameOutput.gate) or legacy plain counts; store each
+                # as a list so both round-trip
                 "pending": [
-                    [idx, int(arr)] for idx, arr in gate._inbox
+                    [idx, np.asarray(arr).reshape(-1).tolist()]
+                    for idx, arr in gate._inbox
                 ],
             }
         return h
@@ -171,9 +175,18 @@ class CheckpointingRunner:
                     "changed since this checkpoint was written; re-run "
                     "from scratch (old checkpoints are not migratable)"
                 )
-            # host ints are fine in the inbox: update() only needs
-            # int(arr), and its is_ready probe defaults to True for them
-            gate._inbox = [(int(i), int(v)) for i, v in g.get("pending", [])]
+            # host arrays are fine in the inbox: _apply only needs
+            # np.asarray, and the is_ready probe defaults to True
+            def _entry(v):
+                a = np.asarray(v, np.int32).reshape(-1)
+                # length-1 entries are legacy plain counts (capture
+                # flattens scalars to [count]); restore their rank so
+                # _apply keeps the per-step threshold semantics
+                return a if a.size > 1 else np.asarray(int(a[0]))
+
+            gate._inbox = [
+                (int(i), _entry(v)) for i, v in g.get("pending", [])
+            ]
             gate._step = int(g["step"])
             gate._last_trigger = int(g["last_trigger"])
             gate._pending_low = bool(g["pending_low"])
