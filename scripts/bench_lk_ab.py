@@ -9,10 +9,13 @@ signal. Value-fetch timing with distinct chained inputs throughout
 Usage: python scripts/bench_lk_ab.py [n_steps] [layouts,..]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import vo_tpu  # noqa: F401 — matmul precision + compile cache
 import jax

@@ -75,7 +75,9 @@ class TestCompactExpand:
         ws = np.moveaxis(np.asarray(small.lk_cache.wins[0]), lane_ax, 0)
         v = np.asarray(st.pts_valid)
         order = np.argsort(~v, stable=True)[: k_small]
-        np.testing.assert_array_equal(ws, w0[order])
+        # the pallas layout stores a 128-aligned lane width; lanes past
+        # k_small are junk no consumer reads — compare the live ones
+        np.testing.assert_array_equal(ws[:k_small], w0[order])
 
     def test_compacted_step_matches_full(self, tracked_state):
         """One tracking step from a compacted state vs the same state at

@@ -80,10 +80,15 @@ class LKConfig(NamedTuple):
     # full-width VPU op (measured 2.8x over the batched tent-matmul
     # sampling at level-0 geometry). "pallas" keeps the lanes storage but
     # runs the whole per-level iteration loop as one fused kernel with
-    # the window stacks VMEM-resident (ops/lk_pallas.py) — the XLA lanes
-    # path re-streams the stacks from HBM every iteration. "batch" keeps
+    # the window stacks VMEM-resident and a cached integer guard patch
+    # (ops/lk_pallas.py) — the XLA lanes path re-streams the stacks from
+    # HBM and re-runs the full aligned-select sampler every iteration.
+    # DEFAULT = pallas since the round-5 guard-patch kernel first beat
+    # lanes on silicon: 6.46 vs 6.86 ms/full-step (A/B
+    # scripts/bench_lk_ab.py 100, KITTI shape; guard G=3 measured 6.85 —
+    # the wider tent costs more than the saved rebases). "batch" keeps
     # the (N, S, S) batched MXU form (comparison / small-N CPU tests).
-    layout: str = "lanes"
+    layout: str = "pallas"
 
 
 class LKCache(NamedTuple):
