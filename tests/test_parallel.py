@@ -235,7 +235,12 @@ class TestWatchdog:
 
 class TestShardedLK:
     def test_matches_dense_tracker(self, mesh8, rng):
-        """Keypoint-sharded LK == dense LK, bitwise (same per-point code)."""
+        """Keypoint-sharded LK == dense LK, bitwise (same per-point code).
+
+        Pinned to layout="lanes" — the sharded wrapper normalizes the
+        pallas layout to lanes (parallel/tracking.py _normalize), so the
+        bitwise guarantee is lanes-vs-lanes; pallas-vs-lanes endpoint
+        parity is tolerance-bounded in tests/test_lk_pallas.py."""
         from vo_tpu.ops.lk import (
             LKConfig,
             lk_make_cache,
@@ -249,7 +254,7 @@ class TestShardedLK:
         from vo_tpu.parallel.mesh import make_mesh
 
         cfg = LKConfig(win=9, max_level=1, iters=10, window_margin=4,
-                       coarse_margin=6)
+                       coarse_margin=6, layout="lanes")
         H, W, N = 64, 96, 32  # N divisible by 8
         img1 = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
         img2 = jnp.roll(img1, 2, axis=1) + 0.5

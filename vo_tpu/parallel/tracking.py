@@ -12,7 +12,11 @@ chip" — the same axis shards the LK tracker, whose per-point work
   replicated RANSAC/pose stage.
 
 Exactness: sharded tracking is the same program per point — results match
-the dense tracker bitwise (tests/test_parallel.py)."""
+the dense lanes tracker bitwise (tests/test_parallel.py). The "pallas"
+layout is normalized to "lanes" here (identical storage minus the guard
+pad): the fused kernel's per-block early exit cannot psum its counts
+across the mesh, and lanes vs pallas endpoint parity is tolerance-bounded
+(tests/test_lk_pallas.py), so the sharded path pins the XLA formulation."""
 
 from __future__ import annotations
 
@@ -60,6 +64,7 @@ def sharded_lk_track(
     (new_pts, status, cache2) exactly equal to the dense tracker."""
     kp = P(axis)
     rep = P()
+    config = _normalize(config)
     cache_spec = _cache_specs_for(len(cache.wins), axis, config)
     # psum'ed early-exit counts keep sharded iteration schedules identical
     # to the dense tracker's (ops/lk.py LKConfig.axis_name)
@@ -71,6 +76,13 @@ def sharded_lk_track(
         check_vma=False,
     )
     return fn(cache, tuple(pyr2), pts, valid)
+
+
+def _normalize(config: LKConfig) -> LKConfig:
+    """Pin the sharded path to the lanes formulation (module docstring)."""
+    if config.layout == "pallas":
+        return config._replace(layout="lanes")
+    return config
 
 
 def _track_block(cache, pyr2, pts, valid, config):
@@ -87,6 +99,7 @@ def sharded_lk_make_cache(
     """Keypoint-sharded window cache construction (init / re-detect)."""
     kp = P(axis)
     rep = P()
+    config = _normalize(config)
     geo = lk_level_geometry([im.shape for im in pyr], config)
     cache_spec = _cache_specs_for(len(geo), axis, config)
     fn = shard_map(
